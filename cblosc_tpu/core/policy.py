@@ -1,0 +1,151 @@
+"""Pure policy functions: blocksize heuristic and block-split decision.
+
+These are *format-relevant behavior* (they determine block geometry and the
+DONT_SPLIT header bit) and therefore reproduce the reference's decision
+tables exactly (blosc.c:929-959 split policy, blosc.c:962-1060 blocksize),
+as pure functions with no global state.
+"""
+
+from __future__ import annotations
+
+from ..format import constants as C
+
+# Codecs "meant for high compression ratios" get doubled block sizes
+# (reference HCR() macro, blosc.c:922-925).
+_HCR_CODECS = frozenset({C.LZ4HC, C.ZLIB, C.ZSTD})
+
+# clevel -> blocksize multiplier (in units of L1), blosc.c:996-1028.
+_CLEVEL_SCALE = {
+    0: 0.25,
+    1: 0.5,
+    2: 1,
+    3: 2,
+    4: 4,
+    5: 4,
+    6: 8,
+    7: 8,
+    8: 8,
+    9: 8,
+}
+
+
+def split_block(
+    compcode: int,
+    typesize: int,
+    blocksize: int,
+    splitmode: int = C.FORWARD_COMPAT_SPLIT,
+) -> bool:
+    """Whether blocks are split into ``typesize`` independent sub-streams.
+
+    Mirrors blosc.c:929-959. Splitting only ever applies when typesize is
+    small (<= MAX_SPLITS) and the per-split stream is not tiny.
+    """
+    if splitmode == C.ALWAYS_SPLIT:
+        return True
+    if splitmode == C.NEVER_SPLIT:
+        return False
+    splittable = (
+        typesize <= C.MAX_SPLITS and blocksize // typesize >= C.MIN_BUFFERSIZE
+    )
+    if splitmode == C.AUTO_SPLIT:
+        # Fast codecs benefit from splits; LZ4 measured faster unsplit.
+        return compcode in (C.BLOSCLZ, C.SNAPPY) and splittable
+    if splitmode == C.FORWARD_COMPAT_SPLIT:
+        # Split everything but zstd so old readers stay compatible.
+        return compcode != C.ZSTD and splittable
+    raise ValueError(f"split mode {splitmode} not supported")
+
+
+def compute_blocksize(
+    clevel: int,
+    typesize: int,
+    nbytes: int,
+    forced_blocksize: int = 0,
+    compcode: int = C.BLOSCLZ,
+    splitmode: int = C.FORWARD_COMPAT_SPLIT,
+) -> int:
+    """Choose the internal block size (bytes). Mirrors blosc.c:962-1060.
+
+    The heuristic targets L1-cache-resident working sets on CPUs; we keep it
+    byte-for-byte identical because the blocksize is written into the chunk
+    header and determines the block/bstarts geometry every reader relies on.
+    (On the TPU path a block also becomes the unit that is DMA'd into VMEM,
+    for which these 32KB-1MB sizes are likewise well-suited.)
+    """
+    if nbytes < typesize:
+        return 1
+
+    blocksize = nbytes
+
+    if forced_blocksize:
+        blocksize = min(max(forced_blocksize, C.MIN_BUFFERSIZE), C.MAX_BLOCKSIZE)
+    elif nbytes >= C.L1:
+        blocksize = C.L1
+        if compcode in _HCR_CODECS:
+            blocksize *= 2
+        try:
+            scale = _CLEVEL_SCALE[clevel]
+        except KeyError:
+            raise ValueError(f"clevel must be 0-9, got {clevel}")
+        blocksize = int(blocksize * scale)
+        if clevel == 9 and compcode in _HCR_CODECS:
+            blocksize *= 2
+
+    # Enlarge the blocksize for splittable codecs (blosc.c:1031-1047):
+    # one split stream per typesize byte-plane should stay >= 64 KB total,
+    # capped at 1 MB.
+    if clevel > 0 and split_block(compcode, typesize, blocksize, splitmode):
+        blocksize = min(blocksize, 1 << 18)
+        blocksize *= typesize
+        blocksize = max(blocksize, 1 << 16)
+        blocksize = min(blocksize, 1 << 20)
+
+    blocksize = min(blocksize, nbytes)
+
+    # blocksize must be a multiple of typesize (blosc.c:1054-1057).
+    if blocksize > typesize:
+        blocksize = blocksize // typesize * typesize
+
+    return blocksize
+
+
+def block_geometry(nbytes: int, blocksize: int) -> tuple[int, int]:
+    """Return (nblocks, leftover) for a buffer (blosc.c:1139-1142)."""
+    if blocksize <= 0:
+        return 0, 0
+    nblocks, leftover = divmod(nbytes, blocksize)
+    if leftover:
+        nblocks += 1
+    return nblocks, leftover
+
+
+def nsplits_encode(dont_split: bool, typesize: int, leftoverblock: bool) -> int:
+    """Number of codec sub-streams for one block, encode side.
+
+    Mirrors blosc_c (blosc.c:627-633): only the header flag and the
+    leftover-block condition matter; splittability was already folded into
+    the flag by split_block().
+    """
+    return 1 if (dont_split or leftoverblock) else typesize
+
+
+def nsplits_decode(
+    dont_split: bool, typesize: int, blocksize: int, leftoverblock: bool
+) -> int:
+    """Number of codec sub-streams for one block, decode side.
+
+    Decode must tolerate chunks written before the split flag existed, hence
+    the extra splittability re-check mirroring blosc_d (blosc.c:749-757).
+    """
+    if dont_split or leftoverblock:
+        return 1
+    if typesize <= C.MAX_SPLITS and blocksize // typesize >= C.MIN_BUFFERSIZE:
+        return typesize
+    return 1
+
+
+def get_accel(compcode: int, clevel: int) -> int:
+    """LZ4 acceleration from clevel (blosc.c:577-587)."""
+    if compcode == C.LZ4:
+        return 10 - clevel
+    return 1

@@ -1,0 +1,48 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so that the multi-chip
+sharding paths (cblosc_tpu.parallel) compile and execute without TPU
+hardware — the equivalent of the reference CI's no-SSE2/no-AVX2 legs that
+force the generic kernels (.github/workflows/cmake.yml).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE, "compat"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+def make_buffer(rng, nbytes: int, typesize: int, kind: str) -> bytes:
+    """Synthetic data generator, mirroring the reference's test fill
+    patterns (tests/test_common.h random fill, bench.c:150-169 ramp with
+    limited significant bits)."""
+    if kind == "ramp":
+        n = max(nbytes // 4, 1)
+        a = (np.arange(n, dtype=np.int64) & 0x7FFFFFFF).astype(np.int32)
+        return a.tobytes()[:nbytes]
+    if kind == "random":
+        return rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+    if kind == "lowentropy":
+        a = (rng.integers(0, 8, nbytes, dtype=np.uint8) * 16)
+        return a.tobytes()
+    if kind == "zeros":
+        return bytes(nbytes)
+    raise ValueError(kind)

