@@ -195,9 +195,9 @@ def compress_hc(src, maxout: int, clevel: int = 9) -> bytes:
                 best_len += 1
             if not _emit_sequence(out, a, anchor, ip, ip - ref, best_len, maxout):
                 return b""
-            # index the covered region sparsely (keeps Python cost sane)
+            # index every covered position (matches the native engine)
             stop = min(ip + best_len, limit)
-            for p in range(ip + 1, stop, 4):
+            for p in range(ip + 1, stop):
                 insert(p)
             ip += best_len
             anchor = ip
