@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""cblosc_tpu benchmark — TPU port of the reference bench (bench/bench.c).
+
+Methodology mirrors the reference: synthetic data with a bounded number
+of significant bits (bench.c:150-169), a ~256 MB working set processed as
+many chunks (bench.c nchunks/WORKINGSET logic), default chunk = 4 MB,
+typesize 8, shuffle + blosclz (bench.c:380-383). Throughput is measured
+on the device-resident pipeline (data already in HBM — the TPU-native
+deployment shape: compress before a DCN transfer / checkpoint write),
+with a device read pass as the memcpy-style baseline (README.md:18-31).
+Chunks are batched into one data-parallel program — the TPU analog of the
+reference's thread pool sweeping chunk after chunk.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": GB/s, "unit": "GB/s", "vs_baseline": x}
+
+vs_baseline compares compress throughput against the reference's best
+published compress number: 9.6 GB/s on a 4-core AVX2 Haswell
+(RELEASE_NOTES.rst:775-780). details.decompress_vs_baseline compares
+against its 26 GB/s decompress headline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_COMPRESS_GBPS = 9.6      # RELEASE_NOTES.rst:775-780
+REF_DECOMPRESS_GBPS = 26.0   # RELEASE_NOTES.rst:777-778
+
+
+def synth(nbytes: int, typesize: int, sbits: int, seed: int = 0) -> np.ndarray:
+    """Reference bench data: integers with `sbits` significant bits
+    (bench.c:150-169), little-endian, viewed as bytes."""
+    rng = np.random.default_rng(seed)
+    n = nbytes // 8
+    vals = rng.integers(0, 1 << min(sbits, 62), n, dtype=np.int64)
+    vals <<= max(0, 32 - sbits)
+    return vals.view(np.uint8)[:nbytes]
+
+
+def _readback_latency(jnp, y):
+    t0 = time.perf_counter()
+    for _ in range(6):
+        _ = float(jnp.sum(y[:8].astype(jnp.int32)))
+    return (time.perf_counter() - t0) / 6
+
+
+def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
+                 doshuffle: int, iters: int, workingset: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cblosc_tpu.core import policy
+    from cblosc_tpu.format import constants as C
+    from cblosc_tpu.tpu import pipeline
+
+    blocksize = policy.compute_blocksize(clevel, typesize, nbytes)
+    nblocks = nbytes // blocksize
+    nbytes = nblocks * blocksize
+    nchunks = max(1, workingset // nbytes)
+    dont_split = not policy.split_block(C.BLOSCLZ, typesize, blocksize)
+    nsplits = policy.nsplits_encode(dont_split, typesize, False)
+    neblock = blocksize // nsplits
+    total_bytes = nchunks * nbytes
+
+    data = synth(total_bytes, typesize, sbits).reshape(
+        nchunks * nblocks, blocksize
+    )
+    x = jax.device_put(jnp.asarray(data))
+
+    def compress(x):
+        return pipeline.compress_blocks(x, doshuffle, typesize, nsplits)
+
+    def roundtrip(x):
+        slots, csizes = compress(x)
+        rows = pipeline.mask_past_csize(slots, csizes, slots.shape[1])
+        out, err = pipeline.decompress_blocks(
+            rows, csizes, neblock, doshuffle, typesize, nsplits
+        )
+        return out, err, csizes
+
+    # correctness gate (bench.c memcmp-verifies every roundtrip, 299-317)
+    out, err, csizes = jax.jit(roundtrip)(x)
+    bad = int(jnp.sum(err.astype(jnp.int32))) + int(
+        jnp.sum((out != x).astype(jnp.int32))
+    )
+    if bad:
+        print(json.dumps({"metric": "roundtrip_errors", "value": bad,
+                          "unit": "count", "vs_baseline": 0.0}))
+        sys.exit(1)
+    cbytes = int(jnp.sum(csizes + 4)) + (16 + 4 * nblocks) * nchunks
+    ratio = total_bytes / cbytes
+
+    # timed loops run on-device via fori_loop (amortizes tunnel dispatch);
+    # every body output feeds the next input so nothing can be hoisted or
+    # dead-code-eliminated
+    def chain(step):
+        @jax.jit
+        def many(x):
+            def body(i, x):
+                r = step(x)  # int32 scalar depending on ALL outputs
+                return x.at[0, 0].set(x[0, 0] ^ (r % 2).astype(jnp.uint8))
+            return jax.lax.fori_loop(0, iters, body, x)
+        return many
+
+    def dep_compress(x):
+        slots, csizes = compress(x)
+        return csizes.sum() + slots[0, 0].astype(jnp.int32)
+
+    def dep_roundtrip(x):
+        out, err, csizes = roundtrip(x)
+        return (csizes.sum() + out[0, 0].astype(jnp.int32)
+                + err.sum().astype(jnp.int32))
+
+    def time_it(many):
+        y = many(x)
+        flat = y.reshape(-1)
+        _ = float(jnp.sum(flat[:8].astype(jnp.int32)))       # warm + compile
+        lat = _readback_latency(jnp, flat)
+        t0 = time.perf_counter()
+        y = many(x)
+        _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
+        return max(time.perf_counter() - t0 - lat, 1e-9) / iters
+
+    comp_dt = time_it(chain(dep_compress))
+    rt_dt = time_it(chain(dep_roundtrip))
+    read_dt = time_it(chain(lambda x: jnp.max(x).astype(jnp.int32) * 0))
+
+    decomp_dt = max(rt_dt - comp_dt, 1e-9)
+    return {
+        "nbytes": nbytes,
+        "nchunks": nchunks,
+        "blocksize": blocksize,
+        "nblocks": nblocks,
+        "nsplits": nsplits,
+        "ratio": round(ratio, 2),
+        "compress_gbps": total_bytes / comp_dt / 1e9,
+        "decompress_gbps": total_bytes / decomp_dt / 1e9,
+        "roundtrip_gbps": total_bytes / rt_dt / 1e9,
+        "device_read_gbps": total_bytes / read_dt / 1e9,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nbytes", type=int, default=4 * 1024 * 1024)
+    ap.add_argument("--typesize", type=int, default=8)
+    ap.add_argument("--sbits", type=int, default=19)
+    ap.add_argument("--clevel", type=int, default=5)
+    ap.add_argument("--shuffle", type=int, default=1, choices=[0, 1, 2])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--workingset", type=int, default=256 * 1024 * 1024)
+    ap.add_argument("--suite", action="store_true",
+                    help="clevel 1-9 sweep like `bench blosclz shuffle suite`")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    clevels = range(1, 10) if args.suite else [args.clevel]
+    results = []
+    for cl in clevels:
+        r = bench_device(args.nbytes, args.typesize, args.sbits, cl,
+                         args.shuffle, args.iters, args.workingset)
+        r["clevel"] = cl
+        results.append(r)
+        if not args.json_only:
+            print(
+                f"# clevel {cl}: ratio {r['ratio']:6.1f}x  "
+                f"comp {r['compress_gbps']:7.2f} GB/s  "
+                f"decomp {r['decompress_gbps']:7.2f} GB/s  "
+                f"devread {r['device_read_gbps']:7.2f} GB/s",
+                file=sys.stderr,
+            )
+
+    best = max(results, key=lambda r: r["compress_gbps"])
+    line = {
+        "metric": "blosclz_shuffle_compress_device",
+        "value": round(best["compress_gbps"], 2),
+        "unit": "GB/s",
+        "vs_baseline": round(best["compress_gbps"] / REF_COMPRESS_GBPS, 2),
+        "details": {
+            "decompress_gbps": round(best["decompress_gbps"], 2),
+            "decompress_vs_baseline": round(
+                best["decompress_gbps"] / REF_DECOMPRESS_GBPS, 2
+            ),
+            "ratio": best["ratio"],
+            "device_read_gbps": round(best["device_read_gbps"], 2),
+            "config": {
+                "chunk_nbytes": best["nbytes"], "nchunks": best["nchunks"],
+                "typesize": args.typesize, "sbits": args.sbits,
+                "clevel": best["clevel"], "shuffle": args.shuffle,
+                "blocksize": best["blocksize"],
+            },
+        },
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

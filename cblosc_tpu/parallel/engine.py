@@ -1,0 +1,161 @@
+"""Multi-chip block parallelism: shard_map over a device mesh.
+
+The reference scales with an intra-process pthread pool — dynamic
+work-stealing over a mutex-guarded block counter, plus a mutex-serialized
+output-offset reservation (blosc.c:1769-1861). The TPU-native replacement
+(SURVEY.md sections 2.3/2.4):
+
+  * the block axis is sharded over a 1-D ``jax.sharding.Mesh``; every
+    device filters+encodes its contiguous slice of blocks (the static
+    partition the reference already uses for decompression,
+    blosc.c:1777-1791);
+  * the output layout is not reserved under a lock — per-split compressed
+    sizes are ``all_gather``-ed over ICI and the byte offsets fall out of
+    an exclusive prefix scan, identical on every device (deterministic,
+    order-preserving; both layouts are valid chunks since bstarts is
+    explicit);
+  * decompression is embarrassingly parallel: every device decodes its
+    block slice from the replicated chunk bytes.
+
+Multi-host deployments build the same programs under ``jax.distributed``
+initialization; the mesh simply spans hosts (collectives ride ICI within
+a slice and DCN across).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..tpu import pipeline
+
+BLOCKS = "blocks"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the block axis (the framework's data-parallel axis)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (BLOCKS,))
+
+
+def _nsplit_rows(mesh: Mesh) -> int:
+    return mesh.shape[BLOCKS]
+
+
+def compress_blocks_sharded(
+    blocks: jax.Array,
+    doshuffle: int,
+    typesize: int,
+    nsplits: int,
+    mesh: Mesh,
+):
+    """Compress a sharded batch of equal-size blocks.
+
+    blocks: uint8 (nblocks, blocksize), nblocks % mesh size == 0.
+    Returns (slots, csizes, split_off, total):
+      slots     uint8 (nblocks*nsplits, W)   block-sharded
+      csizes    int32 (nblocks*nsplits,)     block-sharded
+      split_off int32 (nblocks*nsplits,)     block-sharded, absolute chunk
+                                             offsets of each framed split
+      total     int32 ()                     replicated chunk size
+    """
+    nblocks = blocks.shape[0]
+    ndev = _nsplit_rows(mesh)
+    if nblocks % ndev:
+        raise ValueError(f"nblocks {nblocks} not divisible by mesh size {ndev}")
+    header = 16 + 4 * nblocks
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(BLOCKS, None),
+        out_specs=(P(BLOCKS, None), P(BLOCKS), P(BLOCKS), P()),
+        check_vma=False,  # `total` is replicated by construction (all_gather)
+    )
+    def step(local):
+        slots, csizes = pipeline.compress_blocks(
+            local, doshuffle, typesize, nsplits
+        )
+        # distributed layout: all_gather sizes over ICI, exclusive scan
+        # (replaces the reference's mutex reservation, blosc.c:1843-1861)
+        all_cs = jax.lax.all_gather(csizes, BLOCKS)           # (ndev, rows)
+        framed = all_cs.reshape(-1) + 4
+        starts = header + jnp.cumsum(framed) - framed
+        total = header + framed.sum()
+        my = jax.lax.axis_index(BLOCKS)
+        rows = csizes.shape[0]
+        my_off = jax.lax.dynamic_slice_in_dim(starts, my * rows, rows)
+        return slots, csizes, my_off.astype(jnp.int32), total[None]
+
+    slots, csizes, split_off, total = step(blocks)
+    return slots, csizes, split_off, total[0]
+
+
+def decompress_blocks_sharded(
+    chunk: jax.Array,
+    offs: jax.Array,
+    csizes: jax.Array,
+    neblock: int,
+    doshuffle: int,
+    typesize: int,
+    nsplits: int,
+    mesh: Mesh,
+):
+    """Decode a chunk's full blocks across the mesh.
+
+    chunk: uint8 (clen,) replicated; offs/csizes: int32 (rows,) sharded
+    over blocks. Returns (blocks uint8 (nblocks, blocksize) sharded,
+    err bool (rows,) sharded).
+    """
+    width = neblock + 64
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(BLOCKS), P(BLOCKS)),
+        out_specs=(P(BLOCKS, None), P(BLOCKS)),
+        check_vma=False,  # decoder cond branches mix varying/replicated
+    )
+    def step(chunk, offs, csizes):
+        rows = pipeline.gather_slots(chunk, offs, width)
+        rows = pipeline.mask_past_csize(rows, csizes, width)
+        return pipeline.decompress_blocks(
+            rows, csizes, neblock, doshuffle, typesize, nsplits
+        )
+
+    return step(chunk, offs, csizes)
+
+
+def training_step(blocks: jax.Array, doshuffle: int, typesize: int,
+                  nsplits: int, mesh: Mesh):
+    """One full sharded roundtrip step (compress -> layout -> decompress),
+    the framework's equivalent of a training step: this is what
+    __graft_entry__.dryrun_multichip jit-compiles over an N-device mesh."""
+    slots, csizes, split_off, total = compress_blocks_sharded(
+        blocks, doshuffle, typesize, nsplits, mesh
+    )
+    neblock = blocks.shape[1] // nsplits
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS, None), P(BLOCKS)),
+        out_specs=(P(BLOCKS, None), P(BLOCKS)),
+        check_vma=False,
+    )
+    def dec(slots, csizes):
+        rows = pipeline.mask_past_csize(slots, csizes, slots.shape[1])
+        return pipeline.decompress_blocks(
+            rows, csizes, neblock, doshuffle, typesize, nsplits
+        )
+
+    out, err = dec(slots, csizes)
+    return out, err, total

@@ -1,0 +1,160 @@
+"""Host-facing TPU backend: serialized chunks in, serialized chunks out.
+
+Bridges the byte-oriented public API (cblosc_tpu.api) to the device
+pipeline (cblosc_tpu.tpu.pipeline). Full blocks run on device; the
+leftover block (different geometry, blosc.c:627-633) runs through the
+host engine; the serialized result is byte-for-byte a conforming chunk
+(README_CHUNK_FORMAT.rst) that any reader — including the reference C
+library — decodes.
+
+Only the blosclz codec has a device encoder/decoder today; other codecs
+return None here and the backend router falls back to the native/numpy
+engines (cblosc_tpu.core.backend).
+
+For data that already lives on device (the TPU-native use case: compress
+before a DCN transfer or a checkpoint write), use cblosc_tpu.tpu.pipeline
+directly — this module exists for the drop-in byte API.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..core import engine, policy
+from ..format import constants as C
+from ..format.header import ChunkHeader, FormatError, read_bstarts, validate_header
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def compress_chunk(ctx, data: bytes) -> bytes | None:
+    """Compress via the device pipeline. Returns the chunk, b"" when the
+    data is incompressible within destsize, or None to fall back."""
+    if ctx.memcpyed or ctx.compcode != C.BLOSCLZ or ctx.nblocks == 0:
+        return None
+    nfull = ctx.nbytes // ctx.blocksize
+    if nfull == 0:
+        return None
+    nsplits = policy.nsplits_encode(ctx.dont_split, ctx.typesize, False)
+    if ctx.blocksize % nsplits:
+        return None
+
+    jnp = _jnp()
+    src = np.frombuffer(bytes(data), dtype=np.uint8)
+    x = jnp.asarray(src[: nfull * ctx.blocksize].reshape(nfull, ctx.blocksize))
+    from . import pipeline
+
+    slots, csizes = pipeline.compress_blocks(
+        x, ctx.doshuffle, ctx.typesize, nsplits
+    )
+    slots = np.asarray(slots)
+    csizes = np.asarray(csizes)
+
+    # host-side assembly (deterministic layout: exclusive scan of sizes)
+    blocks: list[bytes] = []
+    for j in range(nfull):
+        parts = []
+        for s in range(nsplits):
+            r = j * nsplits + s
+            cs = int(csizes[r])
+            parts.append(struct.pack("<i", cs))
+            parts.append(slots[r, :cs].tobytes())
+        blocks.append(b"".join(parts))
+    if ctx.leftover:
+        tail = engine.compress_block(ctx, src, nfull)
+        if tail is None:
+            return _fallback_memcpy(ctx, src)
+        blocks.append(tail)
+
+    ntbytes = 16 + 4 * ctx.nblocks
+    bstarts = []
+    total = ntbytes
+    for enc in blocks:
+        bstarts.append(total)
+        total += len(enc)
+    if total > ctx.destsize:
+        return _fallback_memcpy(ctx, src)
+    hdr = ChunkHeader(
+        version=C.VERSION_FORMAT, versionlz=ctx.versionlz, flags=ctx.flags,
+        typesize=ctx.typesize & 0xFF, nbytes=ctx.nbytes,
+        blocksize=ctx.blocksize, cbytes=total,
+    )
+    return b"".join(
+        [hdr.encode(), struct.pack(f"<{ctx.nblocks}i", *bstarts)] + blocks
+    )
+
+
+def _fallback_memcpy(ctx, src: np.ndarray) -> bytes:
+    if ctx.nbytes + C.MAX_OVERHEAD <= ctx.destsize:
+        return engine._memcpyed_chunk(ctx, src)
+    return b""
+
+
+def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
+    """Decompress via the device pipeline; None to fall back to host."""
+    chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
+    hdr = ChunkHeader.decode(chunk_bytes)
+    if destsize is None:
+        destsize = hdr.nbytes
+    validate_header(hdr, destsize)
+    if hdr.nbytes == 0:
+        return b""
+    if hdr.memcpyed or hdr.compcode != C.BLOSCLZ:
+        return None
+    nblocks, leftover = hdr.nblocks, hdr.leftover
+    nfull = nblocks - (1 if leftover else 0)
+    if nfull == 0:
+        return None
+    nsplits = policy.nsplits_decode(
+        hdr.dont_split, hdr.typesize, hdr.blocksize, False
+    )
+    if hdr.blocksize % nsplits:
+        return None
+    neblock = hdr.blocksize // nsplits
+
+    bstarts = read_bstarts(chunk_bytes, nblocks)
+    offs = np.empty(nfull * nsplits, dtype=np.int32)
+    csizes = np.empty(nfull * nsplits, dtype=np.int32)
+    clen = chunk.size
+    for j in range(nfull):
+        pos = bstarts[j]
+        for s in range(nsplits):
+            if pos < 0 or pos + 4 > clen:
+                raise FormatError("split offset out of range")
+            cs = int(np.frombuffer(chunk[pos:pos + 4].tobytes(), "<i4")[0])
+            if cs < 0 or pos + 4 + cs > clen:
+                raise FormatError("split size out of range")
+            r = j * nsplits + s
+            offs[r] = pos + 4
+            csizes[r] = cs
+            pos += 4 + cs
+
+    jnp = _jnp()
+    from . import pipeline
+
+    width = neblock + 64
+    chunk_dev = jnp.asarray(chunk)
+    rows = pipeline.gather_slots(chunk_dev, jnp.asarray(offs), width)
+    rows = pipeline.mask_past_csize(rows, jnp.asarray(csizes), width)
+    doshuffle = (
+        C.SHUFFLE if hdr.doshuffle else (C.BITSHUFFLE if hdr.dobitshuffle else 0)
+    )
+    blocks, err = pipeline.decompress_blocks(
+        rows, jnp.asarray(csizes), neblock, doshuffle, hdr.typesize, nsplits
+    )
+    if bool(np.asarray(err).any()):
+        raise FormatError("corrupt blosclz stream (device decode)")
+    out = np.asarray(blocks).reshape(-1)
+
+    if leftover:
+        tail = engine.decompress_block(
+            hdr, chunk, bstarts[nfull], leftover, leftoverblock=True
+        )
+        return out.tobytes() + tail.tobytes()
+    return out.tobytes()

@@ -1,0 +1,158 @@
+"""Device chunk pipeline: filter + encode / decode + unfilter on TPU.
+
+This is the TPU counterpart of the reference's block engine hot loop
+(blosc_c / blosc_d driven by the pthread pool, blosc/blosc.c:591-800,
+1706-1887). Instead of a worker pool pulling blocks off a mutex-guarded
+queue, the whole batch of blocks is one data-parallel program:
+
+    blocks (nblocks, blocksize)
+      -> filter (shuffle/bitshuffle, VPU)                 [filters.py]
+      -> split into (nblocks*nsplits, neblock) streams
+      -> vectorized encode -> worst-case slots + csizes   [codec.py]
+      -> stored-raw rule applied with a select
+
+The variable-length problem (SURVEY.md hard part #2) is solved by
+fixed-shape slots + a csize vector; the serialized chunk layout is an
+exclusive scan over csizes (deterministic, replacing the reference's
+arrival-order mutex reservation, blosc.c:1843-1861).
+
+Everything here is shape-specialized and jit-cached per chunk geometry
+(nblocks, blocksize, nsplits, typesize, filter) — the compiled-program
+cache plays the role of the reference's persistent thread pool
+(blosc.c:1890-1949).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import codec, filters
+
+I32 = jnp.int32
+U8 = jnp.uint8
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def compress_blocks(
+    blocks: jax.Array, doshuffle: int, typesize: int, nsplits: int
+) -> tuple[jax.Array, jax.Array]:
+    """Filter + encode full blocks on device.
+
+    blocks: uint8 (nblocks, blocksize) with blocksize % nsplits == 0.
+    Returns (slots uint8 (nblocks*nsplits, W), csizes int32) where a
+    csize == neblock marks a stored-raw split (blosc.c:705-714) whose
+    slot holds the filtered bytes verbatim.
+    """
+    nblocks, blocksize = blocks.shape
+    neblock = blocksize // nsplits
+    filtered = filters.apply_filter(doshuffle, typesize, blocks)
+    streams = filtered.reshape(nblocks * nsplits, neblock)
+    slots, csizes = codec.encode(streams)
+    raw = csizes >= neblock
+    csizes = jnp.where(raw, neblock, csizes)
+    padded = jnp.pad(streams, ((0, 0), (0, slots.shape[1] - neblock)))
+    slots = jnp.where(raw[:, None], padded, slots)
+    return slots, csizes
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def decompress_blocks(
+    slots: jax.Array,
+    csizes: jax.Array,
+    neblock: int,
+    doshuffle: int,
+    typesize: int,
+    nsplits: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode + unfilter full blocks on device.
+
+    slots: uint8 (nblocks*nsplits, W), each row a blosclz stream (or raw
+    bytes when csize == neblock), zero-padded past its csize.
+    Returns (blocks uint8 (nblocks, nsplits*neblock), err bool (rows,)).
+    """
+    raw = csizes >= neblock
+    # stored-raw rows skip the token decoder entirely (csize 0 => finished)
+    decoded, produced, err = codec.decode(
+        slots, jnp.where(raw, 0, csizes), neblock
+    )
+    streams = jnp.where(raw[:, None], slots[:, :neblock], decoded)
+    err = jnp.where(raw, False, err | (produced != neblock))
+    nrows = slots.shape[0]
+    blocks = streams.reshape(nrows // nsplits, nsplits * neblock)
+    blocks = filters.undo_filter(doshuffle, typesize, blocks)
+    return blocks, err
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def gather_slots(
+    chunk: jax.Array, offsets: jax.Array, width: int, csizes_width_hint: int = 0
+) -> jax.Array:
+    """Slice per-split streams out of a serialized chunk on device.
+
+    chunk: uint8 (clen,); offsets: int32 (rows,) byte offsets of each
+    stream. Returns uint8 (rows, width) rows; the caller masks bytes past
+    each csize to zero (codec.decode requires it).
+    """
+    clen = chunk.shape[0]
+    idx = offsets[:, None] + jnp.arange(width, dtype=I32)[None, :]
+    return jnp.take(chunk, jnp.clip(idx, 0, clen - 1))
+
+
+@partial(jax.jit, static_argnums=2)
+def mask_past_csize(rows: jax.Array, csizes: jax.Array, width: int) -> jax.Array:
+    keep = jnp.arange(width, dtype=I32)[None, :] < csizes[:, None]
+    return jnp.where(keep, rows, 0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic chunk layout (device-side scan; cf. SURVEY.md section 2.3)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 2))
+def layout_chunk(csizes: jax.Array, nblocks: int, nsplits: int):
+    """Compute the serialized layout from per-split csizes.
+
+    Returns (bstarts int32 (nblocks,), split_off int32 (rows,), total):
+    block j starts at bstarts[j]; split r's payload goes at
+    split_off[r] + 4 (after its little-endian length word). Offsets are
+    absolute chunk offsets (header 16 + 4*nblocks table included).
+    """
+    per_split = csizes.reshape(nblocks, nsplits) + 4
+    per_block = per_split.sum(axis=1)
+    header = 16 + 4 * nblocks
+    bstarts = header + jnp.cumsum(per_block) - per_block
+    flat = (per_split.reshape(-1))
+    split_off = (header + jnp.cumsum(flat) - flat).astype(I32)
+    total = header + per_block.sum()
+    return bstarts.astype(I32), split_off, total
+
+
+@partial(jax.jit, static_argnums=(3,))
+def compact_chunk(
+    slots: jax.Array, csizes: jax.Array, split_off: jax.Array, out_cap: int
+) -> jax.Array:
+    """Scatter framed split streams into their final chunk positions.
+
+    Produces the chunk body (everything after the 16-byte header and the
+    bstarts table, which the host writes); returns uint8 (out_cap,).
+    """
+    rows, W = slots.shape
+    pos = jnp.arange(W + 4, dtype=I32)[None, :]
+    # framed row r: 4-byte LE csize then payload
+    cs = csizes[:, None]
+    le = jnp.concatenate(
+        [
+            (cs >> 0) & 0xFF, (cs >> 8) & 0xFF,
+            (cs >> 16) & 0xFF, (cs >> 24) & 0xFF,
+        ],
+        axis=1,
+    ).astype(U8)
+    framed = jnp.concatenate([le, slots], axis=1)
+    keep = pos < cs + 4
+    dest = jnp.where(keep, split_off[:, None] + pos, out_cap)
+    out = jnp.zeros((out_cap + 1,), U8)
+    out = out.at[dest.reshape(-1)].set(framed.reshape(-1), mode="drop")
+    return out[:out_cap]

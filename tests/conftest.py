@@ -8,12 +8,22 @@ force the generic kernels (.github/workflows/cmake.yml).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend even when the shell pre-sets JAX_PLATFORMS (the
+# axon TPU tunnel does — and its plugin wins platform selection over the
+# env var, so the jax.config update below is required too); tests must
+# see the virtual 8-device mesh. Set CBLOSC_TPU_TEST_PLATFORM=axon to run
+# the single-chip legs on real TPU instead.
+_platform = os.environ.get("CBLOSC_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

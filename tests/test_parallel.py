@@ -1,0 +1,81 @@
+"""Sharded engine on the 8-virtual-device CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cblosc_tpu import parallel
+from cblosc_tpu.tpu import pipeline
+from tests.conftest import make_buffer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    return parallel.make_mesh()
+
+
+def test_sharded_compress_matches_single_device(rng, mesh):
+    nblocks, bs, T = 16, 8192, 4
+    data = np.frombuffer(
+        make_buffer(rng, nblocks * bs, T, "lowentropy"), np.uint8
+    ).reshape(nblocks, bs)
+    x = jnp.asarray(data)
+    slots1, cs1 = pipeline.compress_blocks(x, 1, T, T)
+    slots8, cs8, off8, total8 = parallel.compress_blocks_sharded(
+        x, 1, T, T, mesh
+    )
+    assert np.array_equal(np.asarray(cs1), np.asarray(cs8))
+    assert np.array_equal(np.asarray(slots1), np.asarray(slots8))
+    # deterministic layout: offsets are the exclusive scan of framed sizes
+    framed = np.asarray(cs1) + 4
+    starts = 16 + 4 * nblocks + np.cumsum(framed) - framed
+    assert np.array_equal(np.asarray(off8), starts.astype(np.int32))
+    assert int(total8) == 16 + 4 * nblocks + framed.sum()
+
+
+def test_sharded_roundtrip_step(rng, mesh):
+    nblocks, bs, T = 8, 4096, 4
+    data = np.frombuffer(
+        make_buffer(rng, nblocks * bs, T, "ramp"), np.uint8
+    ).reshape(nblocks, bs)
+    out, err, total = parallel.training_step(jnp.asarray(data), 1, T, T, mesh)
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out), data)
+    assert int(total) < nblocks * bs  # ramps compress
+
+
+def test_sharded_decompress(rng, mesh):
+    import cblosc_tpu as b
+    from cblosc_tpu.format.header import ChunkHeader, read_bstarts
+    from cblosc_tpu.core import policy
+
+    nbytes = 8 * 65536
+    data = make_buffer(rng, nbytes, 8, "lowentropy")
+    chunk = b.compress_ctx(5, 1, 8, data, backend="numpy")
+    hdr = ChunkHeader.decode(chunk)
+    nsp = policy.nsplits_decode(hdr.dont_split, hdr.typesize, hdr.blocksize, False)
+    neblock = hdr.blocksize // nsp
+    nfull = hdr.nblocks - (1 if hdr.leftover else 0)
+    if nfull % len(jax.devices()):
+        pytest.skip("block count not divisible by mesh")
+    bstarts = read_bstarts(chunk, hdr.nblocks)
+    carr = np.frombuffer(chunk, np.uint8)
+    offs, csz = [], []
+    for j in range(nfull):
+        pos = bstarts[j]
+        for s in range(nsp):
+            cs = int(np.frombuffer(carr[pos:pos + 4].tobytes(), "<i4")[0])
+            offs.append(pos + 4)
+            csz.append(cs)
+            pos += 4 + cs
+    blocks, err = parallel.decompress_blocks_sharded(
+        jnp.asarray(carr), jnp.asarray(np.array(offs, np.int32)),
+        jnp.asarray(np.array(csz, np.int32)), neblock, 1, 8, nsp, mesh
+    )
+    assert not np.asarray(err).any()
+    got = np.asarray(blocks).reshape(-1).tobytes()
+    assert got == data[: nfull * hdr.blocksize]

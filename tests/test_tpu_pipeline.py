@@ -1,0 +1,75 @@
+"""End-to-end chunks through the TPU backend.
+
+The device pipeline must emit byte-conforming chunks (decodable by every
+other engine) and decode chunks from every other engine, including the
+reference golden files.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import cblosc_tpu as b
+from cblosc_tpu.format import constants as C
+from tests.conftest import REFERENCE, make_buffer, reference_available
+
+
+@pytest.mark.parametrize("doshuffle", [0, 1, 2])
+@pytest.mark.parametrize("typesize", [1, 4, 8])
+@pytest.mark.parametrize("kind", ["ramp", "lowentropy", "random", "zeros"])
+def test_tpu_chunk_roundtrip(rng, doshuffle, typesize, kind):
+    data = make_buffer(rng, 256 * 1024 + 52, typesize, kind)
+    chunk = b.compress_ctx(5, doshuffle, typesize, data, backend="tpu")
+    assert chunk
+    # every engine decodes the TPU-produced chunk
+    assert b.decompress_ctx(chunk, backend="tpu") == data
+    assert b.decompress_ctx(chunk, backend="numpy") == data
+    assert b.decompress_ctx(chunk, backend="native") == data
+
+
+@pytest.mark.parametrize("nbytes", [4096, 65536, 1 << 20])
+def test_tpu_decodes_host_chunks(rng, nbytes):
+    data = make_buffer(rng, nbytes, 8, "lowentropy")
+    for backend in ["numpy", "native"]:
+        chunk = b.compress_ctx(7, 1, 8, data, backend=backend)
+        assert chunk
+        assert b.decompress_ctx(chunk, backend="tpu") == data
+
+
+def test_tpu_getitem_equivalence(rng):
+    data = make_buffer(rng, 200_000, 4, "ramp")
+    chunk = b.compress_ctx(5, 1, 4, data, backend="tpu")
+    got = b.getitem(chunk, 1000, 500)
+    assert got == data[4000:4000 + 2000]
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference tree")
+def test_tpu_decodes_reference_golden():
+    path = os.path.join(REFERENCE, "compat", "blosc-1.18.0-blosclz.cdata")
+    chunk = open(path, "rb").read()
+    out = b.decompress_ctx(chunk, backend="tpu")
+    assert out == np.arange(1000 * 1000, dtype=np.int32).tobytes()
+
+
+def test_tpu_incompressible_contract(rng):
+    data = make_buffer(rng, 100_000, 8, "random")
+    # tight destsize: incompressible data must yield b"" (blosc.h:167-169)
+    out = b.compress_ctx(5, 1, 8, data, destsize=1000, backend="tpu")
+    assert out == b""
+    # roomy destsize: memcpy fallback kicks in
+    out = b.compress_ctx(5, 1, 8, data, backend="tpu")
+    assert out
+    assert b.decompress_ctx(out) == data
+
+
+def test_tpu_ratio_close_to_host(rng):
+    data = make_buffer(rng, 1 << 20, 8, "ramp")
+    tpu = b.compress_ctx(5, 1, 8, data, backend="tpu")
+    host = b.compress_ctx(5, 1, 8, data, backend="numpy")
+    assert tpu and host
+    # fixed-distance matching trails hash-table LZ mainly in token
+    # granularity (SUBMAX sub-matches vs unbounded lengths); it must stay
+    # within ~2.5x of the host encoder on shuffled typed data (the 4 MB
+    # ramp compresses ~276x on device vs ~569x on host today)
+    assert len(tpu) <= len(host) * 2.5
