@@ -125,7 +125,8 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
         t0 = time.perf_counter()
         y = many(x)
         _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
-        return max(time.perf_counter() - t0 - lat, 1e-9) / iters
+        el = time.perf_counter() - t0
+        return max(el - lat, el * 0.02) / iters
 
     comp_dt = time_it(chain(dep_compress))
     rt_dt = time_it(chain(dep_roundtrip))

@@ -9,30 +9,39 @@ blosc/blosclz.c:679-789):
   * After the shuffle/bitshuffle filter, typed data is dominated by
     *periodic* structure inside each byte-plane: constant runs (period
     1) and arithmetic ramps (period 256/step), plus typesize-strided
-    patterns in unsplit streams. The encoder emits literal chunks and
-    fixed-distance matches: for every stream it scores a small static
-    set of candidate distances with a cheap coverage proxy (three
-    consecutive s[i]==s[i-d] hits), picks the best distance per stream,
-    and run-length-codes s[i]==s[i-d] stretches as distance-d matches.
-    Detection, segmentation, token sizing and output layout are all
-    data-parallel primitives (compares, cummax/cummin, prefix sums) —
-    no sequential scan anywhere — and bytes land via batched scatters.
-  * Long matches are split into sub-matches of <= SUBMAX bytes so a
-    token needs at most 4 length-extension bytes; all candidate
-    distances are < 8192 so the far-distance escape is never needed.
-  * Streams always end with at least one literal (a conforming stream
-    never ends on a match — the reference decoder reads the next token
-    byte before performing a match copy).
+    patterns in unsplit streams. The encoder scores a small static set
+    of candidate distances per stream with a cheap coverage proxy
+    (three consecutive s[i]==s[i-d] hits), picks the best distance per
+    stream, and run-length-codes s[i]==s[i-d] stretches as distance-d
+    matches. Detection, segmentation and layout are pure data-parallel
+    primitives (static-shift compares, cummax/cummin, prefix sums).
+  * Emission is ONE per-row key sort: every input position owns at most
+    two output bytes (token bytes are spread over the first three
+    positions of a match, which always exist since matches are >= 3
+    long); keys pack (dest_offset << 8 | byte) so ascending sort yields
+    the serialized stream directly. On TPU this is ~35x faster than
+    scatter (XLA TPU scatter costs ~7ns per index element; a 64 MB
+    row-sort costs ~112 ms).
+  * Long matches split into sub-matches of <= SUBMAX bytes (at most 4
+    length-extension bytes); all candidate distances are < 8192 so the
+    far-distance escape is never needed.
 
 The decoder accepts ANY blosclz stream (reference-produced included). It
-is a vmapped ``lax.while_loop`` state machine: one iteration parses a
-token or copies a bounded window (literal <=32 B, match chunk <=256 B via
-a modular gather that reproduces overlapping-copy semantics), so rows
-with long runs need few iterations while worst-case streams remain
-correct. Batched across (blocks x splits), all rows advance in lockstep.
+is a vmapped ``lax.while_loop`` state machine tuned so well-formed
+streams need ~one iteration per token:
 
-Compressed outputs are written into fixed worst-case slots plus a csize
-vector (SURVEY.md hard part #2: variable-length output under XLA static
+  * match copies fill up to SUBMAX bytes per iteration: distance-1 runs
+    splat in one step; back >= chunk copies directly; small periods use
+    two doubling steps and then PROMOTE the period (once 4*back bytes
+    are written, 4*back is itself a valid distance), so even period-2
+    matches finish in O(log mlen) iterations;
+  * length-extension bytes are parsed 8 per iteration into an
+    accumulator (bounded windows — no O(out_len) scans per token);
+  * runs of 32-byte literal chunks (what our encoder emits inside long
+    literal stretches) decode 8 cells (256 B) per iteration.
+
+Compressed outputs live in fixed worst-case slots plus a csize vector
+(SURVEY.md hard part #2: variable-length output under XLA static
 shapes); chunk assembly compacts the slots.
 """
 
@@ -46,15 +55,21 @@ import jax.numpy as jnp
 I32 = jnp.int32
 U8 = jnp.uint8
 
-_EXT = 4              # max length-extension bytes per match token
-SUBMAX = 3 + 6 + 255 * (_EXT - 1) + 254   # = 1028 bytes per match token
-_LITW = 32            # literal copy window (a literal chunk is <= 32 B)
-_MATW = 256           # match copy chunk
+_EXT = 4              # max length-extension bytes per match token we emit
+SUBMAX = 1024         # max bytes decoded per emitted match token
+_LITW = 32            # slow-path literal window (a literal chunk is <= 32 B)
+_FASTLIT = 8          # literal cells decoded per fast-path iteration
+_MATW = 256           # match copy window: vmapped dynamic slices cost
+                      # ~14ns/element on TPU, so a smaller window beats
+                      # fewer iterations (4 cheap iterations for a full
+                      # SUBMAX match; 1 for the common short match)
 
 # Candidate match distances: 1 catches constant runs, powers of two catch
 # arithmetic ramps (a step-s byte plane repeats with period 256/gcd(s,256))
 # and strided layouts. All < 8192 so the near-distance form always fits.
 DISTANCES = (1, 2, 3, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+_BIG = jnp.int32(1 << 29)   # sort key for "no byte here"
 
 
 def slot_width(n: int) -> int:
@@ -66,39 +81,42 @@ def slot_width(n: int) -> int:
 # Encoder
 # ---------------------------------------------------------------------------
 
-def _excl_cumsum(c: jax.Array) -> jax.Array:
-    return jnp.cumsum(c, axis=1) - c
-
-
 @partial(jax.jit, static_argnums=1)
-def encode(s: jax.Array, dists: tuple = DISTANCES) -> tuple[jax.Array, jax.Array]:
+def encode(
+    s: jax.Array, dists: tuple = DISTANCES
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode batched streams.
 
     s: uint8 (N, n). Returns (slots uint8 (N, slot_width(n)), csizes int32
-    (N,)). A row's encoding is a conforming blosclz stream; rows that do
-    not compress simply report csize >= n and the caller applies the
-    stored-raw rule (blosc.c:705-714).
+    (N,), est_iters int32 (N,)). est_iters estimates decoder while-loop
+    iterations (for the caller's stored-raw speed policy). Rows that do
+    not compress report csize >= n and the caller applies the stored-raw
+    rule (blosc.c:705-714).
     """
     N, n = s.shape
     W = slot_width(n)
     idx = jnp.arange(n, dtype=I32)
 
-    # -- per-stream distance selection (coverage proxy) ---------------------
-    def eq_at(d):
-        prev = jnp.take(s, jnp.maximum(idx - d, 0), axis=1)
-        return (s == prev) & (idx >= d) & (idx < n - 1)  # last byte literal
-
+    # -- per-stream distance selection (coverage proxy over static shifts) --
+    eqs = []
     covs = []
     for d in dists:
-        e = eq_at(jnp.int32(d))
-        covs.append(jnp.sum(e[:, 2:] & e[:, 1:-1] & e[:, :-2], axis=1))
-    best = jnp.argmin(-jnp.stack(covs, 0), axis=0)       # first max wins
+        if d < n:
+            prev = jnp.concatenate([s[:, :d], s[:, :-d]], axis=1)
+            e = (s == prev) & (idx >= d) & (idx < n - 1)  # last byte literal
+        else:
+            e = jnp.zeros_like(s, dtype=bool)
+        eqs.append(e)
+        covs.append(jnp.sum((e[:, 2:] & e[:, 1:-1] & e[:, :-2]).astype(I32),
+                            axis=1))
+    stack = jnp.stack(covs, 0)
+    best = jnp.argmin(-stack, axis=0)                    # first (smallest d) max
+    eq = eqs[0]
+    for k in range(1, len(dists)):
+        eq = jnp.where((best == k)[:, None], eqs[k], eq)
     d_row = jnp.asarray(dists, I32)[best][:, None]       # (N, 1)
 
-    # -- match detection at the chosen distance -----------------------------
-    prev = jnp.take_along_axis(s, jnp.maximum(idx - d_row, 0), axis=1)
-    eq = (s == prev) & (idx >= d_row) & (idx < n - 1)
-
+    # -- match segmentation at the chosen distance ---------------------------
     noneq = jnp.where(eq, -1, idx)
     run_start = jax.lax.cummax(noneq, axis=1) + 1
     nxt = jnp.where(eq, n, idx)
@@ -118,9 +136,9 @@ def encode(s: jax.Array, dists: tuple = DISTANCES) -> tuple[jax.Array, jax.Array
     sub_len = jnp.minimum(SUBMAX, eff_len - (roff - suboff))
     v = sub_len - 3                              # wire len field: mlen = v + 3
     kext = jnp.where(v >= 6, (v - 6) // 255 + 1, 0)      # extension bytes
-    tok_size = 2 + kext                          # token + ext... + dist_lo
+    tok_size = 2 + kext                          # tok0 + ext... + dist_lo
 
-    # -- literal segmentation ------------------------------------------------
+    # -- literal segmentation -------------------------------------------------
     lit = ~is_match
     nonlit = jnp.where(lit, -1, idx)
     lit_start = jax.lax.cummax(nonlit, axis=1) + 1
@@ -131,126 +149,213 @@ def encode(s: jax.Array, dists: tuple = DISTANCES) -> tuple[jax.Array, jax.Array
     chunk_len = jnp.minimum(32, next_nonlit - idx)       # at ctrl positions
 
     # -- output layout (exclusive scan replaces the reference's mutex
-    #    reservation protocol, blosc.c:1843-1861) ----------------------------
+    #    reservation protocol, blosc.c:1843-1861) -----------------------------
     c = (jnp.where(lit, 1 + is_ctrl.astype(I32), 0)
          + jnp.where(sub_start, tok_size, 0))
-    off = _excl_cumsum(c)
+    off = jnp.cumsum(c, axis=1) - c
     csize = off[:, -1] + c[:, -1]
 
-    # -- emission: batched scatters into flat slots --------------------------
-    base = (jnp.arange(N, dtype=I32) * W)[:, None]
-    flat = jnp.zeros((N * W,), U8)
-    oob = jnp.int32(N * W)
+    # decoder-iteration estimate: one per match token, one per 8 full
+    # literal cells (fast path), one per partial chunk
+    full31 = is_ctrl & (chunk_len == 32)
+    nfull = jnp.sum(full31.astype(I32), axis=1)
+    npart = jnp.sum((is_ctrl & ~full31).astype(I32), axis=1)
+    ntok = jnp.sum(sub_start.astype(I32), axis=1)
+    est_iters = ntok + npart + nfull // _FASTLIT + 8
 
-    def scat(buf, mask, pos, val):
-        gi = jnp.where(mask, base + pos, oob).reshape(-1)
-        vv = jnp.broadcast_to(val.astype(U8), mask.shape).reshape(-1)
-        return buf.at[gi].set(vv, mode="drop")
-
-    flat = scat(flat, is_ctrl, off, chunk_len - 1)
-    flat = scat(flat, lit, off + is_ctrl.astype(I32), s)
+    # -- emission: two key lanes per position, one ascending sort ------------
     dm1 = d_row - 1
     dhi, dlo = dm1 >> 8, dm1 & 255
     tok0 = jnp.where(v < 6, (v + 1) << 5, 7 << 5) | dhi
-    flat = scat(flat, sub_start, off, tok0)
-    for j in range(1, _EXT + 1):                 # length-extension bytes
-        ext_j = jnp.clip(v - 6 - 255 * (j - 1), 0, 255)
-        flat = scat(flat, sub_start & (kext >= j), off + j, ext_j)
-    flat = scat(flat, sub_start, off + 1 + kext, dlo)
-    slots = flat.reshape(N, W)
+
+    def tokbyte(j):
+        """j-th byte after tok0 (1-based): ext bytes then dist_lo."""
+        ext = jnp.clip(v - 6 - 255 * (j - 1), 0, 255)
+        return jnp.where(kext >= j, ext, dlo)
+
+    m1 = is_match & (suboff == 1)
+    m2 = is_match & (suboff == 2)
+    tokbase = off - tok_size     # at m1/m2: the sub-start's output offset
+    si = s.astype(I32)
+
+    # lane 0: ctrl byte | literal byte | tok0 | token byte 2 | token byte 4
+    val0 = jnp.where(
+        is_ctrl, chunk_len - 1,
+        jnp.where(sub_start, tok0,
+                  jnp.where(m1, tokbyte(2), jnp.where(m2, tokbyte(4), si))))
+    pos0 = jnp.where(m1, tokbase + 2, jnp.where(m2, tokbase + 4, off))
+    valid0 = (lit | sub_start
+              | (m1 & (tok_size >= 3)) | (m2 & (tok_size >= 5)))
+
+    # lane 1: literal byte after ctrl | token byte 1 | byte 3 | byte 5
+    val1 = jnp.where(
+        is_ctrl, si,
+        jnp.where(sub_start, tokbyte(1),
+                  jnp.where(m1, tokbyte(3), tokbyte(5))))
+    pos1 = jnp.where(m1, tokbase + 3,
+                     jnp.where(m2, tokbase + 5, off + 1))
+    valid1 = ((lit & is_ctrl) | sub_start
+              | (m1 & (tok_size >= 4)) | (m2 & (tok_size >= 6)))
+
+    key0 = jnp.where(valid0, (pos0 << 8) | val0, _BIG)
+    key1 = jnp.where(valid1, (pos1 << 8) | val1, _BIG)
+    keys = jax.lax.sort(jnp.concatenate([key0, key1], axis=1), dimension=1)
+
+    slots = (keys[:, :W] & 0xFF).astype(U8)
+    slots = jnp.where(jnp.arange(W, dtype=I32)[None, :] < csize[:, None],
+                      slots, 0)
     slots = slots.at[:, 0].set(slots[:, 0] | 32)         # format marker bit
-    return slots, csize
+    return slots, csize, est_iters
 
 
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
-def _decode_one(src: jax.Array, csize: jax.Array, out_len: int, extw: int):
-    """Decode one stream. src rows are zero past csize (so bounded window
-    reads past the stream parse as zeros, never as a neighbour's bytes).
+def _decode_one(src: jax.Array, csize: jax.Array, out_len: int):
+    """Decode one stream (vmapped by ``decode``). src rows are zero past
+    csize, so bounded window reads past the stream parse as zeros.
+
+    The loop body is structured so the output buffer is never routed
+    through a branch: branches are read-only and return a (buffer, pos,
+    len) write request; the single dynamic_update_slice at the end of
+    the body is the only write. Under vmap, lax.cond branches lower to
+    selects over their *outputs* — carrying `out` through them would
+    copy the whole buffer per branch per iteration.
 
     Returns (out uint8 (out_len,), produced int32, err bool).
     """
     W = src.shape[0]
     out0 = jnp.zeros(out_len + _MATW, U8)
     srci = src.astype(I32)
-    lit_t = jnp.arange(_LITW, dtype=I32)
     mat_t = jnp.arange(_MATW, dtype=I32)
-    ext_t = jnp.arange(extw, dtype=I32)
+    span = _FASTLIT * 33
 
     def tok_at(ip):
-        return jax.lax.dynamic_index_in_dim(srci, ip, keepdims=False)
+        return jax.lax.dynamic_index_in_dim(srci, jnp.minimum(ip, W - 1),
+                                            keepdims=False)
 
-    # loop state: (out, ip, op, token, rem=match bytes pending, back, err, fin)
-    def cond2(st):
-        return ~(st[6] | st[7])
+    # state: (out, ip, op, token, rem, back, extacc, err, fin)
+    def cond(st):
+        return ~(st[7] | st[8])
 
-    def body2(st):
-        out, ip, op, token, rem, back, err, fin = st
+    def body(st):
+        out, ip, op, token, rem, back, extacc, err, fin = st
+        opc = jnp.minimum(op, out_len)          # op <= out_len or err already
 
-        def match_branch(a):
-            out, ip, op, token, rem, back, err, fin = a
-            chunk = jnp.minimum(_MATW, rem)
-            period = jnp.maximum(back, 1)
-            src_pos = jnp.clip(op - back + (mat_t % period), 0, out_len + _MATW - 1)
-            vals = jnp.take(out, src_pos)
-            cur = jax.lax.dynamic_slice(out, (op,), (_MATW,))
-            neu = jnp.where(mat_t < chunk, vals, cur)
-            out = jax.lax.dynamic_update_slice(out, neu, (op,))
-            return out, ip, op + chunk, token, rem - chunk, back, err, fin
+        def match_copy(a):
+            ip, op, token, rem, back, extacc, err, fin = a
+            chunk = jnp.minimum(jnp.minimum(_MATW, rem), out_len - opc)
+            pat = jax.lax.dynamic_slice(out, (jnp.maximum(opc - back, 0),),
+                                        (_MATW,))
+            splat = jnp.take(pat, jnp.maximum(back - 1, 0))
+            run1 = back == 1
+            f = jnp.where(run1, chunk, jnp.minimum(back, chunk))
+            buf = jnp.where(run1, jnp.full((_MATW,), 1, U8) * splat, pat)
+            # period promotion: out[x] = out[x-back] applied twice gives
+            # out[x] = out[x-2*back], valid once a full `back` bytes of
+            # this match are written — so a small-period match's distance
+            # doubles per iteration and finishes in O(log mlen) steps.
+            # (No promotion when the write was chunk- or rem-limited:
+            # a plain far copy is not periodic.)
+            back2 = jnp.where(run1 | (f < back), back, 2 * back)
+            return (buf, f, ip, op + f, token, rem - f, back2,
+                    extacc, err, fin)
 
-        def lit_branch(a):
-            out, ip, op, token, rem, back, err, fin = a
+        def fastlit(a):
+            # 8 consecutive full 32-byte literal cells (our encoder's shape)
+            ip, op, token, rem, back, extacc, err, fin = a
+            ipc = jnp.minimum(ip, jnp.maximum(W - span, 0))
+            w = jax.lax.dynamic_slice(src, (ipc,), (span,))
+            cells = w.reshape(_FASTLIT, 33)
+            data = cells[:, :32].reshape(-1)
+            buf = jnp.where(mat_t < 256, jnp.pad(data, (0, _MATW - 256)), 0)
+            ip2 = ip + span
+            tok2 = cells[_FASTLIT - 1, 32].astype(I32)
+            err2 = err | (op + 256 > out_len) | (ip2 > csize)
+            return (buf, jnp.int32(256), ip2, op + 256, tok2, rem, back,
+                    extacc, err2, ip2 >= csize)
+
+        def slowlit(a):
+            ip, op, token, rem, back, extacc, err, fin = a
             llen = token + 1
-            vals = jax.lax.dynamic_slice(srci, (jnp.minimum(ip, W - _LITW),),
-                                         (_LITW,))
-            shift = ip - jnp.minimum(ip, W - _LITW)
-            vals = jnp.take(vals, jnp.minimum(lit_t + shift, _LITW - 1)).astype(U8)
-            op_c = jnp.minimum(op, out_len + _MATW - _LITW)
-            cur = jax.lax.dynamic_slice(out, (op_c,), (_LITW,))
-            neu = jnp.where(lit_t < llen, vals, cur)
-            out = jax.lax.dynamic_update_slice(out, neu, (op_c,))
+            ipc = jnp.minimum(ip, jnp.maximum(W - _LITW, 0))
+            v32 = jax.lax.dynamic_slice(src, (ipc,), (_LITW,))
+            v32 = jnp.take(v32, jnp.minimum(
+                jnp.arange(_LITW, dtype=I32) + (ip - ipc), _LITW - 1))
+            buf = jnp.take(v32, jnp.minimum(mat_t, _LITW - 1))
             ip2 = ip + llen
             op2 = op + llen
-            err = err | (op2 > out_len) | (ip2 > csize) | (op_c != op)
-            fin = ip2 >= csize
-            tok2 = tok_at(jnp.minimum(ip2, W - 1))
-            return out, jnp.where(fin, ip2, ip2 + 1), op2, tok2, rem, back, err, fin
+            err2 = err | (op2 > out_len) | (ip2 > csize)
+            fin2 = ip2 >= csize
+            tok2 = tok_at(ip2)
+            return (buf, llen, jnp.where(fin2, ip2, ip2 + 1), op2, tok2,
+                    rem, back, extacc, err2, fin2)
 
-        def tok_branch(a):
-            out, ip, op, token, rem, back, err, fin = a
+        def literal(a):
+            ip, op, token, rem, back, extacc, err, fin = a
+            ipc = jnp.minimum(ip, jnp.maximum(W - span, 0))
+            ctrls = jax.lax.dynamic_slice(src, (ipc,), (span,)).reshape(
+                _FASTLIT, 33)[:, 32]
+            ok = ((token == 31) & (ip + span < csize)
+                  & (op + 256 <= out_len) & (ipc == ip)
+                  & jnp.all(ctrls[:_FASTLIT - 1] == 31))
+            return jax.lax.cond(ok, fastlit, slowlit, a)
+
+        def tokparse(a):
+            ip, op, token, rem, back, extacc, err, fin = a
             mbase = (token >> 5) - 1
-            ip_c = jnp.minimum(ip, W - extw)
-            w = jax.lax.dynamic_slice(srci, (ip_c,), (extw,))
-            w = jnp.take(w, jnp.minimum(ext_t + (ip - ip_c), extw - 1))
-            lead = jnp.cumprod((w == 255).astype(I32))
-            k255 = jnp.sum(lead)
-            lastb = jnp.take(w, jnp.minimum(k255, extw - 1))
+            ipc = jnp.minimum(ip, jnp.maximum(W - 8, 0))
+            w8 = jax.lax.dynamic_slice(srci, (ipc,), (8,))
+            w8 = jnp.take(w8, jnp.minimum(
+                jnp.arange(8, dtype=I32) + (ip - ipc), 7))
+            lead = jnp.cumprod((w8 == 255).astype(I32))
+            k = jnp.sum(lead)
             has_ext = mbase == 6
-            mlen = jnp.where(has_ext, 6 + 255 * k255 + lastb, mbase) + 3
-            ip2 = ip + jnp.where(has_ext, k255 + 1, 0)
-            dhi = token & 31
-            dlo = tok_at(jnp.minimum(ip2, W - 1))
-            ip3 = ip2 + 1
-            far = (dlo == 255) & (dhi == 31)
-            b1 = tok_at(jnp.minimum(ip3, W - 1))
-            b2 = tok_at(jnp.minimum(ip3 + 1, W - 1))
-            bk = jnp.where(far, (b1 << 8) + b2 + 8191 + 1, (dhi << 8) + dlo + 1)
-            ip4 = ip3 + jnp.where(far, 2, 0)
-            err = err | (bk > op) | (op + mlen > out_len) | (ip4 >= csize)
-            tok2 = tok_at(jnp.minimum(ip4, W - 1))
-            return out, ip4 + 1, op, tok2, mlen, bk, err, fin
+            zbuf = jnp.zeros((_MATW,), U8)
 
-        return jax.lax.cond(
-            rem > 0, match_branch,
-            lambda a: jax.lax.cond(a[3] < 32, lit_branch, tok_branch, a),
-            (out, ip, op, token, rem, back, err, fin),
+            def continue_ext(a):
+                ip, op, token, rem, back, extacc, err, fin = a
+                return (zbuf, jnp.int32(0), ip + 8, op, token, rem, back,
+                        extacc + 8 * 255, err | (ip + 8 >= csize), fin)
+
+            def finish(a):
+                ip, op, token, rem, back, extacc, err, fin = a
+                lastb = jnp.take(w8, jnp.minimum(k, 7))
+                mlen = jnp.where(has_ext, 6 + extacc + 255 * k + lastb,
+                                 mbase) + 3
+                ip2 = ip + jnp.where(has_ext, k + 1, 0)
+                dhi = token & 31
+                dlo = tok_at(ip2)
+                ip3 = ip2 + 1
+                far = (dlo == 255) & (dhi == 31)
+                b1 = tok_at(ip3)
+                b2 = tok_at(ip3 + 1)
+                bk = jnp.where(far, (b1 << 8) + b2 + 8192,
+                               (dhi << 8) + dlo + 1)
+                ip4 = ip3 + jnp.where(far, 2, 0)
+                err2 = err | (bk > op) | (op + mlen > out_len) | (ip4 >= csize)
+                tok2 = tok_at(ip4)
+                return (zbuf, jnp.int32(0), ip4 + 1, op, tok2, mlen, bk,
+                        jnp.int32(0), err2, fin)
+
+            return jax.lax.cond(has_ext & (k == 8), continue_ext, finish, a)
+
+        a = (ip, op, token, rem, back, extacc, err, fin)
+        buf, wlen, ip, op2, token, rem, back, extacc, err, fin = jax.lax.cond(
+            rem > 0, match_copy,
+            lambda a: jax.lax.cond(a[2] < 32, literal, tokparse, a),
+            a,
         )
+        cur = jax.lax.dynamic_slice(out, (opc,), (_MATW,))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(mat_t < wlen, buf, cur), (opc,))
+        return out, ip, op2, token, rem, back, extacc, err, fin
 
-    out, ip, op, token, rem, back, err, fin = jax.lax.while_loop(
-        cond2, body2, (out0, jnp.int32(1), jnp.int32(0), srci[0] & 31,
-                       jnp.int32(0), jnp.int32(1), csize <= 0, csize <= 1)
+    out, ip, op, token, rem, back, extacc, err, fin = jax.lax.while_loop(
+        cond, body,
+        (out0, jnp.int32(1), jnp.int32(0), srci[0] & 31,
+         jnp.int32(0), jnp.int32(1), jnp.int32(0), csize <= 0, csize <= 1),
     )
     err = err | (rem > 0)
     return out[:out_len], op, err
@@ -264,8 +369,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     zero beyond. Returns (out uint8 (N, out_len), produced int32 (N,),
     err bool (N,)).
     """
-    # length-extension window sized for the longest legal match (~out_len)
-    extw = min(max(out_len // 255 + 2, 8), 4200)
-    return jax.vmap(_decode_one, in_axes=(0, 0, None, None))(
-        slots, csizes, out_len, extw
-    )
+    minw = _FASTLIT * 33 + 8
+    if slots.shape[1] < minw:                  # bounded windows need room
+        slots = jnp.pad(slots, ((0, 0), (0, minw - slots.shape[1])))
+    return jax.vmap(_decode_one, in_axes=(0, 0, None))(slots, csizes, out_len)

@@ -35,9 +35,32 @@ I32 = jnp.int32
 U8 = jnp.uint8
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+# The encoder's sort keys cost 8 bytes per input byte transiently; group
+# rows so peak device memory stays bounded on big batches (a 256 MB batch
+# would otherwise materialize ~2 GB of keys plus sort workspace).
+_ENCODE_GROUP_BYTES = 64 << 20
+
+
+def _encode_grouped(streams: jax.Array):
+    rows, n = streams.shape
+    group = max(_ENCODE_GROUP_BYTES // max(n, 1), 8)
+    if rows <= group:
+        return codec.encode(streams)
+    pad = (-rows) % group
+    sp = jnp.pad(streams, ((0, pad), (0, 0)))
+    grouped = sp.reshape(-1, group, n)
+    slots, csizes, est = jax.lax.map(codec.encode, grouped)
+    return (
+        slots.reshape(-1, slots.shape[-1])[:rows],
+        csizes.reshape(-1)[:rows],
+        est.reshape(-1)[:rows],
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def compress_blocks(
-    blocks: jax.Array, doshuffle: int, typesize: int, nsplits: int
+    blocks: jax.Array, doshuffle: int, typesize: int, nsplits: int,
+    min_bytes_per_iter: int = 48,
 ) -> tuple[jax.Array, jax.Array]:
     """Filter + encode full blocks on device.
 
@@ -45,13 +68,23 @@ def compress_blocks(
     Returns (slots uint8 (nblocks*nsplits, W), csizes int32) where a
     csize == neblock marks a stored-raw split (blosc.c:705-714) whose
     slot holds the filtered bytes verbatim.
+
+    min_bytes_per_iter is a decode-speed policy: streams whose estimated
+    decoder iteration count exceeds neblock / min_bytes_per_iter are
+    stored raw even if they compressed a little — dense token streams
+    decode slowly on TPU (the while-loop advances one token per
+    iteration across the whole batch), and a marginal ratio win is not
+    worth serializing every other stream in the batch. Set 0 to disable
+    (maximum ratio, reference-like behavior).
     """
     nblocks, blocksize = blocks.shape
     neblock = blocksize // nsplits
     filtered = filters.apply_filter(doshuffle, typesize, blocks)
     streams = filtered.reshape(nblocks * nsplits, neblock)
-    slots, csizes = codec.encode(streams)
+    slots, csizes, est_iters = _encode_grouped(streams)
     raw = csizes >= neblock
+    if min_bytes_per_iter:
+        raw |= est_iters > max(neblock // min_bytes_per_iter, 32)
     csizes = jnp.where(raw, neblock, csizes)
     padded = jnp.pad(streams, ((0, 0), (0, slots.shape[1] - neblock)))
     slots = jnp.where(raw[:, None], padded, slots)

@@ -29,13 +29,16 @@ def _streams(rng):
         (np.arange(n) // 256).astype(np.uint8),          # plane of a ramp
         np.tile(np.array([1, 2], np.uint8), n // 2),     # no runs at all
         np.repeat(rng.integers(0, 256, n).astype(np.uint8), 3)[:n],
+        # long far copies (dist 1500 > the decoder's 256-byte window):
+        # regression for the period-promotion bug on non-periodic copies
+        np.tile(rng.integers(0, 256, 1500, dtype=np.uint8), n // 1500 + 1)[:n],
     ]
     return np.stack(cases), n
 
 
 def test_device_roundtrip(rng):
     S, n = _streams(rng)
-    slots, csizes = codec.encode(jnp.asarray(S))
+    slots, csizes, _ = codec.encode(jnp.asarray(S))
     out, produced, err = codec.decode(slots, csizes, n)
     assert not np.asarray(err).any()
     assert (np.asarray(produced) == n).all()
@@ -44,7 +47,7 @@ def test_device_roundtrip(rng):
 
 def test_host_oracle_decodes_device_streams(rng):
     S, n = _streams(rng)
-    slots, csizes = map(np.asarray, codec.encode(jnp.asarray(S)))
+    slots, csizes, _ = map(np.asarray, codec.encode(jnp.asarray(S)))
     for i in range(S.shape[0]):
         stream = slots[i, : csizes[i]].tobytes()
         assert lzhost.decompress(stream, n) == S[i].tobytes()
@@ -86,5 +89,5 @@ def test_corrupt_stream_reports_error():
 def test_compression_ratio_on_runs(rng):
     # a stream that is one run must compress ~n/263 tokens
     S = np.zeros((1, 8192), np.uint8)
-    _, csizes = codec.encode(jnp.asarray(S))
+    _, csizes, _ = codec.encode(jnp.asarray(S))
     assert int(np.asarray(csizes)[0]) < 8192 * 0.02
