@@ -59,7 +59,7 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     from cblosc_tpu.format import constants as C
     from cblosc_tpu.tpu import pipeline
 
-    blocksize = policy.compute_blocksize(clevel, typesize, nbytes)
+    blocksize = policy.compute_blocksize_device(clevel, typesize, nbytes)
     nblocks = nbytes // blocksize
     nbytes = nblocks * blocksize
     nchunks = max(1, workingset // nbytes)

@@ -65,10 +65,15 @@ def build_context(
     forced_blocksize: int = 0,
     splitmode: int = C.FORWARD_COMPAT_SPLIT,
     nthreads: int = 1,
+    exact_blocksize: int = 0,
 ) -> CompressionContext:
     """Validate arguments and fix the chunk geometry
     (initialize_context_compression + write_compression_header,
-    blosc.c:1062-1247)."""
+    blosc.c:1062-1247).
+
+    exact_blocksize bypasses the blocksize heuristic entirely (used by
+    the device pipeline, whose optimal geometry differs from the CPU
+    L1 heuristic; any blocksize yields a conforming chunk)."""
     if nbytes > C.MAX_BUFFERSIZE:
         raise ValueError(f"input buffer cannot exceed {C.MAX_BUFFERSIZE} bytes")
     if destsize < C.MAX_OVERHEAD:
@@ -83,9 +88,14 @@ def build_context(
     if typesize > C.MAX_TYPESIZE:
         typesize = 1  # oversized types degrade to a byte stream (blosc.c:1117-1120)
 
-    blocksize = policy.compute_blocksize(
-        clevel, typesize, nbytes, forced_blocksize, compcode, splitmode
-    )
+    if exact_blocksize:
+        blocksize = min(max(exact_blocksize, 1), C.MAX_BLOCKSIZE, nbytes)
+        if blocksize > typesize:
+            blocksize = blocksize // typesize * typesize
+    else:
+        blocksize = policy.compute_blocksize(
+            clevel, typesize, nbytes, forced_blocksize, compcode, splitmode
+        )
     nblocks, leftover = policy.block_geometry(nbytes, blocksize)
 
     memcpyed = clevel == 0 or nbytes < C.MIN_BUFFERSIZE

@@ -38,6 +38,22 @@ def compress_chunk(ctx, data: bytes) -> bytes | None:
     data is incompressible within destsize, or None to fall back."""
     if ctx.memcpyed or ctx.compcode != C.BLOSCLZ or ctx.nblocks == 0:
         return None
+    # retune geometry for the device encoder when the caller used the
+    # default (CPU L1) heuristic; a forced blocksize is respected
+    default_bs = policy.compute_blocksize(
+        ctx.clevel, ctx.typesize, ctx.nbytes, 0, ctx.compcode, ctx.splitmode
+    )
+    if ctx.blocksize == default_bs:
+        dev_bs = policy.compute_blocksize_device(
+            ctx.clevel, ctx.typesize, ctx.nbytes, 0, ctx.compcode,
+            ctx.splitmode,
+        )
+        if dev_bs != ctx.blocksize:
+            ctx = engine.build_context(
+                ctx.clevel, ctx.doshuffle, ctx.typesize, ctx.nbytes,
+                ctx.destsize, ctx.compcode, splitmode=ctx.splitmode,
+                nthreads=ctx.nthreads, exact_blocksize=dev_bs,
+            )
     nfull = ctx.nbytes // ctx.blocksize
     if nfull == 0:
         return None
