@@ -159,7 +159,14 @@ def main() -> None:
     ap.add_argument("--suite", action="store_true",
                     help="clevel 1-9 sweep like `bench blosclz shuffle suite`")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one timed pass")
     args = ap.parse_args()
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
 
     clevels = range(1, 10) if args.suite else [args.clevel]
     results = []
@@ -176,6 +183,11 @@ def main() -> None:
                 f"devread {r['device_read_gbps']:7.2f} GB/s",
                 file=sys.stderr,
             )
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
 
     best = max(results, key=lambda r: r["compress_gbps"])
     line = {

@@ -276,7 +276,29 @@ def compress_ctx(
     )
     from .core import backend as backend_mod
 
-    return backend_mod.compress_chunk(ctx, data, backend)
+    out = backend_mod.compress_chunk(ctx, data, backend)
+    # BLOSC_WARN: stderr verbosity on incompressible-input situations
+    # (blosc.h:216-219, blosc.c:1076-1115)
+    warn = os.environ.get("BLOSC_WARN")
+    if warn:
+        try:
+            level = int(warn)
+        except ValueError:
+            level = 0
+        if level >= 1 and not out:
+            import sys
+
+            print(
+                "Blosc warning: input is not compressible within the "
+                "destination budget (returning empty; keep the original "
+                "buffer)", file=sys.stderr,
+            )
+        elif level >= 2 and out and len(out) >= nbytes + C.MAX_OVERHEAD:
+            import sys
+
+            print("Blosc warning: chunk stored uncompressed (memcpy mode)",
+                  file=sys.stderr)
+    return out
 
 
 def compress(

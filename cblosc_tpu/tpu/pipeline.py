@@ -107,8 +107,12 @@ def decompress_blocks(
     Returns (blocks uint8 (nblocks, nsplits*neblock), err bool (rows,)).
     """
     raw = csizes >= neblock
-    # stored-raw rows skip the token decoder entirely (csize 0 => finished)
-    decoded, produced, err = codec.decode(
+    # stored-raw rows skip the token decoder entirely (csize 0 => finished);
+    # the structured decoder fast-paths uniform-distance streams and falls
+    # back to the loop decoder per row otherwise
+    from . import structured
+
+    decoded, produced, err = structured.decode(
         slots, jnp.where(raw, 0, csizes), neblock
     )
     streams = jnp.where(raw[:, None], slots[:, :neblock], decoded)
