@@ -109,12 +109,26 @@ def decompress_blocks(
     raw = csizes >= neblock
     # stored-raw rows skip the token decoder entirely (csize 0 => finished);
     # the structured decoder fast-paths uniform-distance streams and falls
-    # back to the loop decoder per row otherwise
+    # back to the loop decoder per row otherwise. Row groups bound the
+    # sort/fill workspace on large batches (as in _encode_grouped).
     from . import structured
 
-    decoded, produced, err = structured.decode(
-        slots, jnp.where(raw, 0, csizes), neblock
-    )
+    dec_cs = jnp.where(raw, 0, csizes)
+    rows, _ = slots.shape
+    group = max(_ENCODE_GROUP_BYTES // max(neblock, 1), 8)
+    if rows <= group:
+        decoded, produced, err = structured.decode(slots, dec_cs, neblock)
+    else:
+        pad = (-rows) % group
+        sp = jnp.pad(slots, ((0, pad), (0, 0)))
+        cp = jnp.pad(dec_cs, (0, pad))
+        decoded, produced, err = jax.lax.map(
+            lambda t: structured.decode(t[0], t[1], neblock),
+            (sp.reshape(-1, group, sp.shape[1]), cp.reshape(-1, group)),
+        )
+        decoded = decoded.reshape(-1, neblock)[:rows]
+        produced = produced.reshape(-1)[:rows]
+        err = err.reshape(-1)[:rows]
     streams = jnp.where(raw[:, None], slots[:, :neblock], decoded)
     err = jnp.where(raw, False, err | (produced != neblock))
     nrows = slots.shape[0]
