@@ -312,6 +312,15 @@ def compress(
     """Global-config compression (blosc_compress, blosc.h:120-173)."""
     if not _state.initialized:
         init()
+    if os.environ.get("BLOSC_NOLOCK") == "1":
+        # reroute to the lock-free context API (blosc.c:1379-1408)
+        return compress_ctx(
+            clevel, doshuffle, typesize, src, destsize,
+            compressor=C.COMPNAMES[_state.compressor],
+            blocksize=_state.force_blocksize,
+            numinternalthreads=_state.nthreads,
+            splitmode=_state.splitmode, backend=backend,
+        )
     with _state.lock:
         clevel, doshuffle, typesize = _env_overrides(clevel, doshuffle, typesize)
         name = C.COMPNAMES[_state.compressor]
@@ -341,6 +350,8 @@ def decompress(src, destsize: int | None = None, backend: str | None = None) -> 
     """Global-config decompression (blosc_decompress, blosc.h:221-260)."""
     if not _state.initialized:
         init()
+    if os.environ.get("BLOSC_NOLOCK") == "1":
+        return decompress_ctx(src, destsize, _state.nthreads, backend=backend)
     v = os.environ.get("BLOSC_NTHREADS")
     if v is not None:
         try:
