@@ -363,7 +363,15 @@ def decompress(src, destsize: int | None = None, backend: str | None = None) -> 
     return decompress_ctx(src, destsize, _state.nthreads, backend=backend)
 
 
-def getitem(src, start: int, nitems: int) -> bytes:
+def getitem(src, start: int, nitems: int, backend: str | None = None) -> bytes:
     """Partial decompression of items [start, start+nitems)
-    (blosc_getitem, blosc.h:332-352)."""
-    return engine.getitem(_coerce_src(src), start, nitems)
+    (blosc_getitem, blosc.h:332-352). backend='tpu' decodes only the
+    overlapping blocks on device."""
+    data = _coerce_src(src)
+    if backend == "tpu":
+        from .tpu import host_api
+
+        out = host_api.getitem(data, start, nitems)
+        if out is not None:
+            return out
+    return engine.getitem(data, start, nitems)

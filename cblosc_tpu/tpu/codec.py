@@ -66,8 +66,12 @@ _MATW = 256           # match copy window: vmapped dynamic slices cost
 
 # Candidate match distances: 1 catches constant runs, powers of two catch
 # arithmetic ramps (a step-s byte plane repeats with period 256/gcd(s,256))
-# and strided layouts. All < 8192 so the near-distance form always fits.
-DISTANCES = (1, 2, 3, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+# and strided layouts; 3 covers RGB-ish strides. A pattern with period p
+# is also periodic at any multiple of p, so the set only needs one
+# multiple per fundamental period worth catching (64 -> 128, 512/1024
+# dropped as rare) — every distance costs the decoder a residue-fill
+# pass. All < 8192 so the near-distance form always fits.
+DISTANCES = (1, 2, 3, 4, 8, 16, 32, 128, 256)
 
 _BIG = jnp.int32(1 << 29)   # sort key for "no byte here"
 

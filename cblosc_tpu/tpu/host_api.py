@@ -112,6 +112,75 @@ def _fallback_memcpy(ctx, src: np.ndarray) -> bytes:
     return b""
 
 
+def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
+    """Partial decompression on device (blosc_getitem, blosc.c:1574-1703):
+    only the blocks overlapping [start, start+nitems) items are decoded.
+    Returns None to fall back to the host engine."""
+    chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
+    hdr = ChunkHeader.decode(chunk_bytes)
+    if hdr.memcpyed or hdr.compcode != C.BLOSCLZ or hdr.nbytes == 0:
+        return None
+    ts = hdr.typesize
+    stop = start + nitems
+    if start < 0 or stop * ts > hdr.nbytes or nitems < 0:
+        raise IndexError("getitem range out of bounds")
+    b0 = (start * ts) // hdr.blocksize
+    b1 = min((stop * ts + hdr.blocksize - 1) // hdr.blocksize, hdr.nblocks)
+    nfull = hdr.nblocks - (1 if hdr.leftover else 0)
+    b1_dev = min(b1, nfull)
+    if b1_dev <= b0:
+        return None                      # only the leftover block: host path
+    nsplits = policy.nsplits_decode(
+        hdr.dont_split, hdr.typesize, hdr.blocksize, False
+    )
+    if hdr.blocksize % nsplits:
+        return None
+    neblock = hdr.blocksize // nsplits
+
+    bstarts = read_bstarts(chunk_bytes, hdr.nblocks)
+    nsel = b1_dev - b0
+    offs = np.empty(nsel * nsplits, dtype=np.int32)
+    csizes = np.empty(nsel * nsplits, dtype=np.int32)
+    clen = chunk.size
+    for j in range(nsel):
+        pos = bstarts[b0 + j]
+        for s in range(nsplits):
+            if pos < 0 or pos + 4 > clen:
+                raise FormatError("split offset out of range")
+            cs = int(np.frombuffer(chunk[pos:pos + 4].tobytes(), "<i4")[0])
+            if cs < 0 or pos + 4 + cs > clen:
+                raise FormatError("split size out of range")
+            offs[j * nsplits + s] = pos + 4
+            csizes[j * nsplits + s] = cs
+            pos += 4 + cs
+
+    jnp = _jnp()
+    from . import pipeline
+
+    width = neblock + 64
+    chunk_dev = jnp.asarray(chunk)
+    rows = pipeline.gather_slots(chunk_dev, jnp.asarray(offs), width)
+    rows = pipeline.mask_past_csize(rows, jnp.asarray(csizes), width)
+    doshuffle = (
+        C.SHUFFLE if hdr.doshuffle else (C.BITSHUFFLE if hdr.dobitshuffle else 0)
+    )
+    blocks, err = pipeline.decompress_blocks(
+        rows, jnp.asarray(csizes), neblock, doshuffle, hdr.typesize, nsplits
+    )
+    if bool(np.asarray(err).any()):
+        raise FormatError("corrupt blosclz stream (device getitem)")
+    out = np.asarray(blocks).reshape(-1)
+
+    if b1 > b1_dev:                      # leftover block overlaps the range
+        tail = engine.decompress_block(
+            hdr, chunk, bstarts[nfull], hdr.leftover, leftoverblock=True
+        )
+        out = np.concatenate([out, np.asarray(tail)])
+    lo = start * ts - b0 * hdr.blocksize
+    hi = stop * ts - b0 * hdr.blocksize
+    return out[lo:hi].tobytes()
+
+
 def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
     """Decompress via the device pipeline; None to fall back to host."""
     chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)

@@ -44,6 +44,20 @@ def test_tpu_getitem_equivalence(rng):
     assert got == data[4000:4000 + 2000]
 
 
+def test_tpu_device_getitem(rng):
+    """Device block-sparse getitem must agree with the host engine across
+    block boundaries, leftover tails, and zero-length reads."""
+    data = make_buffer(rng, 300_000 + 1234, 4, "lowentropy")
+    n = len(data) // 4
+    for backend_src in ["numpy", "tpu"]:
+        chunk = b.compress_ctx(5, 1, 4, data, backend=backend_src)
+        for start, nitems in [(0, 100), (n // 2 - 50, 100), (n - 10, 10),
+                              (0, n), (123, 0)]:
+            host = b.getitem(chunk, start, nitems)
+            dev = b.getitem(chunk, start, nitems, backend="tpu")
+            assert dev == host == data[start * 4:(start + nitems) * 4]
+
+
 @pytest.mark.skipif(not reference_available(), reason="no reference tree")
 def test_tpu_decodes_reference_golden():
     path = os.path.join(REFERENCE, "compat", "blosc-1.18.0-blosclz.cdata")
