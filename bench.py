@@ -51,7 +51,8 @@ def _readback_latency(jnp, y):
 
 
 def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
-                 doshuffle: int, iters: int, workingset: int) -> dict:
+                 doshuffle: int, iters: int, workingset: int,
+                 codec_name: str = "blosclz") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,11 +60,13 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     from cblosc_tpu.format import constants as C
     from cblosc_tpu.tpu import pipeline
 
-    blocksize = policy.compute_blocksize_device(clevel, typesize, nbytes)
+    compcode = C.COMPCODES[codec_name]
+    blocksize = policy.compute_blocksize_device(
+        clevel, typesize, nbytes, compcode=compcode)
     nblocks = nbytes // blocksize
     nbytes = nblocks * blocksize
     nchunks = max(1, workingset // nbytes)
-    dont_split = not policy.split_block(C.BLOSCLZ, typesize, blocksize)
+    dont_split = not policy.split_block(compcode, typesize, blocksize)
     nsplits = policy.nsplits_encode(dont_split, typesize, False)
     neblock = blocksize // nsplits
     total_bytes = nchunks * nbytes
@@ -74,13 +77,14 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     x = jax.device_put(jnp.asarray(data))
 
     def compress(x):
-        return pipeline.compress_blocks(x, doshuffle, typesize, nsplits)
+        return pipeline.compress_blocks(
+            x, doshuffle, typesize, nsplits, 48, compcode)
 
     def roundtrip(x):
         slots, csizes = compress(x)
         rows = pipeline.mask_past_csize(slots, csizes, slots.shape[1])
         out, err = pipeline.decompress_blocks(
-            rows, csizes, neblock, doshuffle, typesize, nsplits
+            rows, csizes, neblock, doshuffle, typesize, nsplits, compcode
         )
         return out, err, csizes
 
@@ -155,6 +159,8 @@ def main() -> None:
     ap.add_argument("--clevel", type=int, default=5)
     ap.add_argument("--shuffle", type=int, default=1, choices=[0, 1, 2])
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--codec", default="blosclz",
+                    choices=["blosclz", "lz4", "lz4hc"])
     ap.add_argument("--workingset", type=int, default=256 * 1024 * 1024)
     ap.add_argument("--suite", action="store_true",
                     help="clevel 1-9 sweep like `bench blosclz shuffle suite`")
@@ -172,7 +178,8 @@ def main() -> None:
     results = []
     for cl in clevels:
         r = bench_device(args.nbytes, args.typesize, args.sbits, cl,
-                         args.shuffle, args.iters, args.workingset)
+                         args.shuffle, args.iters, args.workingset,
+                         args.codec)
         r["clevel"] = cl
         results.append(r)
         if not args.json_only:
@@ -191,7 +198,7 @@ def main() -> None:
 
     best = max(results, key=lambda r: r["compress_gbps"])
     line = {
-        "metric": "blosclz_shuffle_compress_device",
+        "metric": f"{args.codec}_shuffle_compress_device",
         "value": round(best["compress_gbps"], 2),
         "unit": "GB/s",
         "vs_baseline": round(best["compress_gbps"] / REF_COMPRESS_GBPS, 2),

@@ -7,9 +7,11 @@ host engine; the serialized result is byte-for-byte a conforming chunk
 (README_CHUNK_FORMAT.rst) that any reader — including the reference C
 library — decodes.
 
-Only the blosclz codec has a device encoder/decoder today; other codecs
-return None here and the backend router falls back to the native/numpy
-engines (cblosc_tpu.core.backend).
+BloscLZ and LZ4/LZ4HC have device codecs; other compcodes return None
+here and the backend router falls back to the native/numpy engines
+(cblosc_tpu.core.backend). Foreign LZ4 chunks whose geometry the
+structured decoder cannot handle also fall back (the device LZ4 path
+has no generic loop decoder yet).
 
 For data that already lives on device (the TPU-native use case: compress
 before a DCN transfer or a checkpoint write), use cblosc_tpu.tpu.pipeline
@@ -36,7 +38,10 @@ def _jnp():
 def compress_chunk(ctx, data: bytes) -> bytes | None:
     """Compress via the device pipeline. Returns the chunk, b"" when the
     data is incompressible within destsize, or None to fall back."""
-    if ctx.memcpyed or ctx.compcode != C.BLOSCLZ or ctx.nblocks == 0:
+    from . import pipeline
+
+    if (ctx.memcpyed or ctx.compcode not in pipeline.DEVICE_CODECS
+            or ctx.nblocks == 0):
         return None
     # retune geometry for the device encoder when the caller used the
     # default (CPU L1) heuristic; a forced blocksize is respected
@@ -64,10 +69,8 @@ def compress_chunk(ctx, data: bytes) -> bytes | None:
     jnp = _jnp()
     src = np.frombuffer(bytes(data), dtype=np.uint8)
     x = jnp.asarray(src[: nfull * ctx.blocksize].reshape(nfull, ctx.blocksize))
-    from . import pipeline
-
     slots, csizes = pipeline.compress_blocks(
-        x, ctx.doshuffle, ctx.typesize, nsplits
+        x, ctx.doshuffle, ctx.typesize, nsplits, 48, ctx.compcode
     )
     slots = np.asarray(slots)
     csizes = np.asarray(csizes)
@@ -116,9 +119,12 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
     """Partial decompression on device (blosc_getitem, blosc.c:1574-1703):
     only the blocks overlapping [start, start+nitems) items are decoded.
     Returns None to fall back to the host engine."""
+    from . import pipeline
+
     chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
     hdr = ChunkHeader.decode(chunk_bytes)
-    if hdr.memcpyed or hdr.compcode != C.BLOSCLZ or hdr.nbytes == 0:
+    if (hdr.memcpyed or hdr.compcode not in pipeline.DEVICE_CODECS
+            or hdr.nbytes == 0):
         return None
     ts = hdr.typesize
     stop = start + nitems
@@ -155,8 +161,6 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
             pos += 4 + cs
 
     jnp = _jnp()
-    from . import pipeline
-
     width = neblock + 64
     chunk_dev = jnp.asarray(chunk)
     rows = pipeline.gather_slots(chunk_dev, jnp.asarray(offs), width)
@@ -165,9 +169,12 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
         C.SHUFFLE if hdr.doshuffle else (C.BITSHUFFLE if hdr.dobitshuffle else 0)
     )
     blocks, err = pipeline.decompress_blocks(
-        rows, jnp.asarray(csizes), neblock, doshuffle, hdr.typesize, nsplits
+        rows, jnp.asarray(csizes), neblock, doshuffle, hdr.typesize, nsplits,
+        hdr.compcode,
     )
     if bool(np.asarray(err).any()):
+        if hdr.compcode != C.BLOSCLZ:
+            return None     # foreign LZ4 geometry: host engines decode it
         raise FormatError("corrupt blosclz stream (device getitem)")
     out = np.asarray(blocks).reshape(-1)
 
@@ -184,13 +191,15 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
 def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
     """Decompress via the device pipeline; None to fall back to host."""
     chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
+    from . import pipeline
+
     hdr = ChunkHeader.decode(chunk_bytes)
     if destsize is None:
         destsize = hdr.nbytes
     validate_header(hdr, destsize)
     if hdr.nbytes == 0:
         return b""
-    if hdr.memcpyed or hdr.compcode != C.BLOSCLZ:
+    if hdr.memcpyed or hdr.compcode not in pipeline.DEVICE_CODECS:
         return None
     nblocks, leftover = hdr.nblocks, hdr.leftover
     nfull = nblocks - (1 if leftover else 0)
@@ -221,8 +230,6 @@ def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
             pos += 4 + cs
 
     jnp = _jnp()
-    from . import pipeline
-
     width = neblock + 64
     chunk_dev = jnp.asarray(chunk)
     rows = pipeline.gather_slots(chunk_dev, jnp.asarray(offs), width)
@@ -231,9 +238,12 @@ def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
         C.SHUFFLE if hdr.doshuffle else (C.BITSHUFFLE if hdr.dobitshuffle else 0)
     )
     blocks, err = pipeline.decompress_blocks(
-        rows, jnp.asarray(csizes), neblock, doshuffle, hdr.typesize, nsplits
+        rows, jnp.asarray(csizes), neblock, doshuffle, hdr.typesize, nsplits,
+        hdr.compcode,
     )
     if bool(np.asarray(err).any()):
+        if hdr.compcode != C.BLOSCLZ:
+            return None     # foreign LZ4 geometry: host engines decode it
         raise FormatError("corrupt blosclz stream (device decode)")
     out = np.asarray(blocks).reshape(-1)
 

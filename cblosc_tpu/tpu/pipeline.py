@@ -29,10 +29,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import codec, filters
+from . import codec, codec_lz4, filters
+from ..format import constants as C
 
 I32 = jnp.int32
 U8 = jnp.uint8
+
+# compcodes with a device codec (LZ4HC chunks carry the LZ4 wire format)
+DEVICE_CODECS = (C.BLOSCLZ, C.LZ4, C.LZ4HC)
+
+
+def _codec_mod(compcode: int):
+    return codec if compcode == C.BLOSCLZ else codec_lz4
 
 
 # The encoder's sort keys cost 8 bytes per input byte transiently; group
@@ -41,15 +49,16 @@ U8 = jnp.uint8
 _ENCODE_GROUP_BYTES = 64 << 20
 
 
-def _encode_grouped(streams: jax.Array):
+def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ):
+    enc = _codec_mod(compcode).encode
     rows, n = streams.shape
     group = max(_ENCODE_GROUP_BYTES // max(n, 1), 8)
     if rows <= group:
-        return codec.encode(streams)
+        return enc(streams)
     pad = (-rows) % group
     sp = jnp.pad(streams, ((0, pad), (0, 0)))
     grouped = sp.reshape(-1, group, n)
-    slots, csizes, est = jax.lax.map(codec.encode, grouped)
+    slots, csizes, est = jax.lax.map(enc, grouped)
     return (
         slots.reshape(-1, slots.shape[-1])[:rows],
         csizes.reshape(-1)[:rows],
@@ -57,10 +66,10 @@ def _encode_grouped(streams: jax.Array):
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def compress_blocks(
     blocks: jax.Array, doshuffle: int, typesize: int, nsplits: int,
-    min_bytes_per_iter: int = 48,
+    min_bytes_per_iter: int = 48, compcode: int = C.BLOSCLZ,
 ) -> tuple[jax.Array, jax.Array]:
     """Filter + encode full blocks on device.
 
@@ -81,7 +90,7 @@ def compress_blocks(
     neblock = blocksize // nsplits
     filtered = filters.apply_filter(doshuffle, typesize, blocks)
     streams = filtered.reshape(nblocks * nsplits, neblock)
-    slots, csizes, est_iters = _encode_grouped(streams)
+    slots, csizes, est_iters = _encode_grouped(streams, compcode)
     raw = csizes >= neblock
     if min_bytes_per_iter:
         raw |= est_iters > max(neblock // min_bytes_per_iter, 32)
@@ -91,7 +100,7 @@ def compress_blocks(
     return slots, csizes
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def decompress_blocks(
     slots: jax.Array,
     csizes: jax.Array,
@@ -99,6 +108,7 @@ def decompress_blocks(
     doshuffle: int,
     typesize: int,
     nsplits: int,
+    compcode: int = C.BLOSCLZ,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode + unfilter full blocks on device.
 
@@ -113,17 +123,18 @@ def decompress_blocks(
     # sort/fill workspace on large batches (as in _encode_grouped).
     from . import structured
 
+    dec = (structured.decode if compcode == C.BLOSCLZ else codec_lz4.decode)
     dec_cs = jnp.where(raw, 0, csizes)
     rows, _ = slots.shape
     group = max(_ENCODE_GROUP_BYTES // max(neblock, 1), 8)
     if rows <= group:
-        decoded, produced, err = structured.decode(slots, dec_cs, neblock)
+        decoded, produced, err = dec(slots, dec_cs, neblock)
     else:
         pad = (-rows) % group
         sp = jnp.pad(slots, ((0, pad), (0, 0)))
         cp = jnp.pad(dec_cs, (0, pad))
         decoded, produced, err = jax.lax.map(
-            lambda t: structured.decode(t[0], t[1], neblock),
+            lambda t: dec(t[0], t[1], neblock),
             (sp.reshape(-1, group, sp.shape[1]), cp.reshape(-1, group)),
         )
         decoded = decoded.reshape(-1, neblock)[:rows]

@@ -1,0 +1,80 @@
+"""Device LZ4 codec: wire-format conformance and cross-decoding."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cblosc_tpu.native import binding
+from cblosc_tpu.ops.codecs import lz4 as lz4host
+from cblosc_tpu.tpu import codec_lz4
+
+
+def _streams(rng, n=4096):
+    cases = [
+        np.zeros(n, np.uint8),
+        (np.arange(n) // 256).astype(np.uint8),
+        np.tile(np.arange(128, dtype=np.uint8), n // 128),
+        np.tile(np.array([7, 9], np.uint8), n // 2),
+        rng.integers(0, 256, n, dtype=np.uint8),
+        np.repeat(rng.integers(0, 5, 40).astype(np.uint8),
+                  rng.integers(1, 900, 40))[:n].copy(),
+        np.pad(rng.integers(0, 256, 100, dtype=np.uint8), (0, n - 100)),
+    ]
+    return np.stack(cases), n
+
+
+def test_device_lz4_roundtrip(rng):
+    S, n = _streams(rng)
+    slots, csizes, _ = codec_lz4.encode(jnp.asarray(S))
+    out, produced, err = codec_lz4.decode(slots, csizes, n)
+    assert not np.asarray(err).any()
+    assert (np.asarray(produced) == n).all()
+    assert np.array_equal(np.asarray(out), S)
+
+
+def test_host_decoders_read_device_lz4(rng):
+    S, n = _streams(rng)
+    slots, csizes, _ = map(np.asarray, codec_lz4.encode(jnp.asarray(S)))
+    for i in range(S.shape[0]):
+        stream = slots[i, : csizes[i]].tobytes()
+        assert lz4host.decompress(stream, n) == S[i].tobytes()
+        if binding.available():
+            got = binding.lz4_decompress(np.frombuffer(stream, np.uint8), n)
+            assert got == S[i].tobytes()
+
+
+def test_device_reads_native_lz4_uniform(rng):
+    """Native-encoder streams with a single match distance decode on
+    device; mixed-distance streams must flag err (host fallback)."""
+    S, n = _streams(rng)
+    if not binding.available():
+        pytest.skip("native engine unavailable")
+    for i in (0, 2, 3):
+        enc = binding.lz4_compress(S[i], n + 64, accel=1)
+        buf = np.zeros((1, len(enc) + 64), np.uint8)
+        buf[0, : len(enc)] = np.frombuffer(enc, np.uint8)
+        out, produced, err = codec_lz4.decode(
+            jnp.asarray(buf), jnp.asarray([len(enc)]), n
+        )
+        assert not bool(np.asarray(err)[0])
+        assert np.array_equal(np.asarray(out)[0], S[i])
+
+
+def test_device_lz4_flags_unparseable(rng):
+    bad = rng.integers(0, 256, (2, 128), dtype=np.uint8)
+    out, produced, err = codec_lz4.decode(
+        jnp.asarray(bad), jnp.asarray([128, 128]), 4096
+    )
+    # random bytes either parse to an error or fail the op==out_len check
+    assert np.asarray(err).all()
+
+
+def test_lz4_format_rules(rng):
+    """MFLIMIT / lastLiterals: the final 5+ bytes of every stream decode
+    as literals and no match extends into them."""
+    S = np.zeros((1, 4096), np.uint8)
+    slots, csizes, _ = map(np.asarray, codec_lz4.encode(jnp.asarray(S)))
+    stream = slots[0, : csizes[0]].tobytes()
+    # last sequence: token with zero match nibble consumed at stream end
+    assert lz4host.decompress(stream, 4096) == S[0].tobytes()

@@ -87,3 +87,22 @@ def test_tpu_ratio_close_to_host(rng):
     # within ~2.5x of the host encoder on shuffled typed data (the 4 MB
     # ramp compresses ~276x on device vs ~569x on host today)
     assert len(tpu) <= len(host) * 2.5
+
+
+@pytest.mark.parametrize("codec_name", ["lz4", "lz4hc"])
+def test_tpu_lz4_chunk_roundtrip(rng, codec_name):
+    """Device LZ4 encode/decode through the byte API; every engine must
+    read the device-written chunks and vice versa."""
+    for kind in ["ramp", "lowentropy", "zeros"]:
+        data = make_buffer(rng, 200_000 + 36, 4, kind)
+        chunk = b.compress_ctx(5, 1, 4, data, compressor=codec_name,
+                               backend="tpu")
+        assert chunk
+        assert b.decompress_ctx(chunk, backend="tpu") == data
+        assert b.decompress_ctx(chunk, backend="numpy") == data
+        assert b.decompress_ctx(chunk, backend="native") == data
+        # host-written chunks decode through the tpu entry point (device
+        # handles uniform-distance streams, host fallback otherwise)
+        host_chunk = b.compress_ctx(5, 1, 4, data, compressor=codec_name,
+                                    backend="native")
+        assert b.decompress_ctx(host_chunk, backend="tpu") == data
