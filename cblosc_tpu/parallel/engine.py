@@ -56,6 +56,7 @@ def compress_blocks_sharded(
     typesize: int,
     nsplits: int,
     mesh: Mesh,
+    compcode: int = 0,
 ):
     """Compress a sharded batch of equal-size blocks.
 
@@ -82,7 +83,7 @@ def compress_blocks_sharded(
     )
     def step(local):
         slots, csizes = pipeline.compress_blocks(
-            local, doshuffle, typesize, nsplits
+            local, doshuffle, typesize, nsplits, 48, compcode
         )
         # distributed layout: all_gather sizes over ICI, exclusive scan
         # (replaces the reference's mutex reservation, blosc.c:1843-1861)
