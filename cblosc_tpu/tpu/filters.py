@@ -65,6 +65,9 @@ def unshuffle(x: jax.Array, typesize: int) -> jax.Array:
         return x
     nel = _check(x, typesize, bits=False)
     b = x.shape[0]
+    # (the planes->elements direction lowers ~5x slower than the forward
+    # transpose, ~55 GB/s r+w; a shift/bitcast word-recombine variant
+    # measured no faster — the u8->u32 widening traffic cancels the win)
     return x.reshape(b, typesize, nel).swapaxes(-1, -2).reshape(b, -1)
 
 
