@@ -35,9 +35,15 @@ def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE, "compat"))
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(20260816)
+@pytest.fixture()
+def rng(request):
+    # deterministic per test regardless of selection or execution order
+    # (a session-scoped stream made failures depend on which tests ran);
+    # crc32 because str hash is salted per process
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode())
+    return np.random.default_rng((20260816, seed))
 
 
 def make_buffer(rng, nbytes: int, typesize: int, kind: str) -> bytes:
