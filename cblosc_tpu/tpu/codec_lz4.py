@@ -362,7 +362,8 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     recs, nrec, dist, ok = jax.vmap(
         _walk_one, in_axes=(0, 0, None, None)
     )(slots, csizes, out_len, maxrec)
+    rec_valid = jnp.arange(recs.shape[1], dtype=I32)[None, :] < nrec[:, None]
     sk, handled = structured._place_and_fill(
-        slots, csizes, recs, nrec, dist, ok, out_len)
+        slots, csizes, recs, rec_valid, dist, ok, out_len)
     produced = jnp.where(handled, out_len, 0)
     return sk, produced, ~handled & (csizes > 0)

@@ -58,9 +58,13 @@ def max_records(out_len: int) -> int:
 # WALK: parse-only token scan
 # ---------------------------------------------------------------------------
 
+_KCHUNK = 16                    # walk iterations per scan chunk
+
+
 def _walk_one(src: jax.Array, csize: jax.Array, out_len: int, maxrec: int):
-    """Parse one stream into records. Returns (recs (maxrec, 4) i32 as
-    [kind, src_off, dst_off, len], nrec, dist, ok).
+    """Parse one stream into records. Returns (recs (slots, 4) i32 as
+    [kind, src_off, dst_off, len] with kind == -1 marking empty slots,
+    dist, ok).
 
     Record kinds: 0 = literal chunk (contiguous data), 1 = match,
     2 = literal TRAIN (8 full 32-byte cells with interleaved control
@@ -69,23 +73,24 @@ def _walk_one(src: jax.Array, csize: jax.Array, out_len: int, maxrec: int):
     One iteration consumes a literal (chunk or train) AND a following
     match token — under vmap every branch executes anyway, so fusing the
     phases halves the iteration count of interleaved streams for free.
+    The loop is a while over lax.scan chunks of _KCHUNK iterations:
+    records land in the scan's stacked outputs (static positions), so an
+    iteration costs exactly ONE dynamic op (the source window read) —
+    the chunk write amortizes to 1/_KCHUNK ops.
     """
     W = src.shape[0]
     srci = src.astype(I32)
     span = codec._FASTLIT * 33
-
-
-    recs0 = jnp.zeros((maxrec, 4), I32)
-
-    # state: (recs, k, ip, op, token, extacc, dist, err, fin)
-    def cond(st):
-        return ~(st[7] | st[8])
+    nchunks = -(-maxrec // (2 * _KCHUNK))
+    recs0 = jnp.full((nchunks * 2 * _KCHUNK, 4), -1, I32)
+    invalid = jnp.full((4,), -1, I32)
 
     WINW = span + 16            # one window covers ctrls AND token parse
     wwi = jnp.arange(WINW, dtype=I32)
 
-    def body(st):
-        recs, k, ip, op, token, extacc, dist, err, fin = st
+    def inner(carry, _):
+        ip, op, token, extacc, dist, err, fin = carry
+        active = ~(err | fin)
 
         # ONE dynamic read per iteration: dynamic ops cost ~2us per row
         # per CALL on TPU, so op count — not element count — is the
@@ -163,27 +168,39 @@ def _walk_one(src: jax.Array, csize: jax.Array, out_len: int, maxrec: int):
                             jnp.where(m_ok, 0, extacc))
         dist2 = jnp.where(m_ok, d2, dist)
 
-        # ---- write 0-2 records --------------------------------------------
-        valid0 = is_lit | m_ok
-        valid1 = is_lit & m_ok
-        nadd = valid0.astype(I32) + valid1.astype(I32)
-        err3 = err2 | (k + nadd > maxrec)
-        kc = jnp.minimum(k, maxrec - 2)
-        # unconditional 2-row write: a garbage second row is overwritten
-        # by the next iteration (k advances by nadd) or masked by nrec
+        # ---- emit 0-2 records into this iteration's static slots -----------
+        valid0 = active & (is_lit | m_ok)
+        valid1 = active & is_lit & m_ok
         row0 = jnp.where(is_lit, rec_lit, rec_m)
-        recs = jax.lax.dynamic_update_slice(
-            recs, jnp.stack([row0, rec_m]), (kc, 0))
-        return (recs, k + nadd, ip5, op2, tok2, extacc2, dist2, err3,
-                fin | lit_fin)
+        rows = jnp.stack([jnp.where(valid0, row0, invalid),
+                          jnp.where(valid1, rec_m, invalid)])
+        # freeze finished/erred rows (scan runs all _KCHUNK steps)
+        new = (ip5, op2, tok2, extacc2, dist2, err2, fin | lit_fin)
+        old = (ip, op, token, extacc, dist, err, fin)
+        carry = tuple(jnp.where(active, n, o) for n, o in zip(new, old))
+        return carry, rows
 
-    recs, k, ip, op, token, extacc, dist, err, fin = jax.lax.while_loop(
+    def cond(st):
+        recs, kslot, carry = st[0], st[1], st[2:]
+        return ~(carry[5] | carry[6]) & (kslot < nchunks)
+
+    def body(st):
+        recs, kslot = st[0], st[1]
+        carry, rows = jax.lax.scan(inner, st[2:], None, length=_KCHUNK)
+        recs = jax.lax.dynamic_update_slice(
+            recs, rows.reshape(2 * _KCHUNK, 4), (kslot * 2 * _KCHUNK, 0))
+        return (recs, kslot + 1) + carry
+
+    st = jax.lax.while_loop(
         cond, body,
         (recs0, jnp.int32(0), jnp.int32(1), jnp.int32(0), srci[0] & 31,
          jnp.int32(0), jnp.int32(0), csize <= 0, csize <= 1),
     )
+    recs, kslot = st[0], st[1]
+    ip, op, token, extacc, dist, err, fin = st[2:]
+    err = err | ~(err | fin)            # ran out of chunks: unhandled
     ok = ~err & (op == out_len)
-    return recs, k, dist, ok
+    return recs, dist, ok
 
 
 # ---------------------------------------------------------------------------
@@ -203,15 +220,15 @@ def _segment_fill(n_cols: int, starts, keys, N: int):
     return jax.lax.cummax(flat.reshape(N, n_cols), axis=1)
 
 
-def _place_and_fill(slots, csizes, recs, nrec, dist, ok, out_len: int):
-    """Batched skeleton construction + per-distance forward fills."""
+def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
+    """Batched skeleton construction + per-distance forward fills.
+    rec_valid: (N, R) bool mask of live record slots."""
     N, Wc = slots.shape
-    R = recs.shape[1]
     kind = recs[..., 0]
     srco = recs[..., 1]
     dsto = recs[..., 2]
     ln = recs[..., 3]
-    valid = (jnp.arange(R, dtype=I32)[None, :] < nrec[:, None]) & ok[:, None]
+    valid = rec_valid & ok[:, None]
 
     # --- compressed-space fill: dst delta for literal-run bytes -----------
     # key at src start: pos(15) << 17 | lit(1) << 16 | train(1) << 15
@@ -293,11 +310,11 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
         return codec.decode(slots, csizes, out_len)
     N = slots.shape[0]
     maxrec = max_records(out_len)
-    recs, nrec, dist, ok = jax.vmap(
+    recs, dist, ok = jax.vmap(
         _walk_one, in_axes=(0, 0, None, None)
     )(slots, csizes, out_len, maxrec)
     sk, handled = _place_and_fill(
-        slots, csizes, recs, nrec, dist, ok, out_len)
+        slots, csizes, recs, recs[..., 0] >= 0, dist, ok, out_len)
     # fallback rows (csize of handled rows masked to 0 => loop skips them)
     fb_cs = jnp.where(handled, 0, csizes)
     fb_out, fb_prod, fb_err = codec.decode(slots, fb_cs, out_len)
