@@ -79,3 +79,34 @@ def test_sharded_decompress(rng, mesh):
     assert not np.asarray(err).any()
     got = np.asarray(blocks).reshape(-1).tobytes()
     assert got == data[: nfull * hdr.blocksize]
+
+
+def test_sharded_lz4_roundtrip(rng, mesh):
+    from cblosc_tpu.format import constants as C
+
+    nblocks, bs, T = 8, 4096, 4
+    data = np.frombuffer(
+        make_buffer(rng, nblocks * bs, T, "lowentropy"), np.uint8
+    ).reshape(nblocks, bs)
+    x = jnp.asarray(data)
+    slots, cs, off, total = parallel.compress_blocks_sharded(
+        x, 1, T, T, mesh, C.LZ4
+    )
+    s1, c1 = pipeline.compress_blocks(x, 1, T, T, 48, C.LZ4)
+    assert np.array_equal(np.asarray(cs), np.asarray(c1))
+    blocks, err = pipeline.decompress_blocks(
+        pipeline.mask_past_csize(slots, cs, slots.shape[1]),
+        cs, bs // T, 1, T, T, C.LZ4,
+    )
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(blocks), data)
+
+
+def test_sharded_bitshuffle_roundtrip(rng, mesh):
+    nblocks, bs, T = 8, 4096, 4
+    data = np.frombuffer(
+        make_buffer(rng, nblocks * bs, T, "ramp"), np.uint8
+    ).reshape(nblocks, bs)
+    out, err, total = parallel.training_step(jnp.asarray(data), 2, T, T, mesh)
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out), data)
