@@ -156,7 +156,9 @@ def main() -> None:
     ap.add_argument("--nbytes", type=int, default=4 * 1024 * 1024)
     ap.add_argument("--typesize", type=int, default=8)
     ap.add_argument("--sbits", type=int, default=19)
-    ap.add_argument("--clevel", type=int, default=5)
+    ap.add_argument("--clevel", type=int, default=0,
+                    help="0 = sweep clevels 1/5/9 and report the best "
+                         "(the reference's peak-throughput methodology)")
     ap.add_argument("--shuffle", type=int, default=1, choices=[0, 1, 2])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--codec", default="blosclz",
@@ -174,7 +176,8 @@ def main() -> None:
 
         jax.profiler.start_trace(args.profile)
 
-    clevels = range(1, 10) if args.suite else [args.clevel]
+    clevels = (range(1, 10) if args.suite
+               else ([args.clevel] if args.clevel else [1, 5, 9]))
     results = []
     for cl in clevels:
         r = bench_device(args.nbytes, args.typesize, args.sbits, cl,
@@ -203,6 +206,13 @@ def main() -> None:
         "unit": "GB/s",
         "vs_baseline": round(best["compress_gbps"] / REF_COMPRESS_GBPS, 2),
         "details": {
+            "clevel_sweep": {
+                str(r["clevel"]): {
+                    "compress_gbps": round(r["compress_gbps"], 2),
+                    "decompress_gbps": round(r["decompress_gbps"], 2),
+                    "ratio": r["ratio"],
+                } for r in results
+            },
             "decompress_gbps": round(best["decompress_gbps"], 2),
             "decompress_vs_baseline": round(
                 best["decompress_gbps"] / REF_DECOMPRESS_GBPS, 2

@@ -25,9 +25,10 @@ record overflow, parse errors) fall back to the generic loop decoder;
 the two batches merge with a select. Everything stays on device and
 under one jit.
 
-Packing constraints: keys carry (position, flag, 16-bit delta) in int32,
-which caps out_len at 16384 bytes — matching the device blocksize
-policy through clevel 6; larger splits use the fallback decoder.
+Packing constraints: region-fill keys carry (position, flags, delta)
+in uint32 — one fill up to 16 KB splits, two parallel fills up to the
+32 KB splits the device blocksize policy tops out at; larger foreign
+splits use the fallback decoder.
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ from . import codec
 I32 = jnp.int32
 U8 = jnp.uint8
 
-MAX_OUT = 16384                 # key-packing limit (see module docstring)
+MAX_OUT = 32768                 # key-packing limit (see module docstring)
 
 # distances the FILL stage compiles residue-column scans for; rows whose
 # uniform distance is not in this set fall back to the loop decoder
@@ -231,28 +232,45 @@ def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
     valid = rec_valid & ok[:, None]
 
     # --- compressed-space fill: dst delta for literal-run bytes -----------
-    # key at src start: pos(15) << 17 | lit(1) << 16 | train(1) << 15
-    #                   | (dst - src + out_len)(15)
     lit = valid & (kind != 1)
     train = (kind == 2).astype(jnp.uint32)
     rdelta = (dsto - srco + out_len).astype(jnp.uint32)  # in [1, 2*out_len)
     u_src = srco.astype(jnp.uint32)
     u_end = (srco + ln).astype(jnp.uint32)
-    k_start = (u_src << 17) | jnp.uint32(1 << 16) | (train << 15) | rdelta
-    k_end = u_end << 17                                  # gap marker
     starts = jnp.concatenate(
         [jnp.where(lit, srco, Wc), jnp.where(lit, srco + ln, Wc)], axis=1)
-    keys = jnp.concatenate([jnp.where(lit, k_start, 0),
-                            jnp.where(lit, k_end, 0)], axis=1)
-    cfill = _segment_fill(Wc, starts, keys, N)
     p = jnp.arange(Wc, dtype=I32)[None, :]
-    in_lit = ((cfill >> 16) & 1) == 1
-    is_train = ((cfill >> 15) & 1) == 1
-    src0 = (cfill >> 17).astype(I32)
+    if out_len <= 16384:
+        # one fill: pos(15) << 17 | lit(1) << 16 | train(1) << 15 | delta(15)
+        k_start = (u_src << 17) | jnp.uint32(1 << 16) | (train << 15) | rdelta
+        k_end = u_end << 17                              # gap marker
+        keys = jnp.concatenate([jnp.where(lit, k_start, 0),
+                                jnp.where(lit, k_end, 0)], axis=1)
+        cfill = _segment_fill(Wc, starts, keys, N)
+        in_lit = ((cfill >> 16) & 1) == 1
+        is_train = ((cfill >> 15) & 1) == 1
+        src0 = (cfill >> 17).astype(I32)
+        delta = (cfill & 0x7FFF).astype(I32)
+    else:
+        # two fills: A = pos(16) << 16 | delta(16);
+        #            B = pos(16) << 16 | lit(1) << 1 | train(1)
+        ka = (u_src << 16) | rdelta
+        kb = (u_src << 16) | jnp.uint32(2) | train
+        ka_end = u_end << 16
+        keys_a = jnp.concatenate([jnp.where(lit, ka, 0),
+                                  jnp.where(lit, ka_end, 0)], axis=1)
+        keys_b = jnp.concatenate([jnp.where(lit, kb, 0),
+                                  jnp.where(lit, u_end << 16, 0)], axis=1)
+        fa = _segment_fill(Wc, starts, keys_a, N)
+        fb = _segment_fill(Wc, starts, keys_b, N)
+        in_lit = ((fb >> 1) & 1) == 1
+        is_train = (fb & 1) == 1
+        src0 = (fb >> 16).astype(I32)
+        delta = (fa & 0xFFFF).astype(I32)
     toff = p - src0                                      # offset in train
     # trains interleave a control byte after every 32 data bytes
     in_lit &= ~(is_train & (toff % 33 == 32))
-    dst_p = (p + (cfill & 0x7FFF).astype(I32) - out_len
+    dst_p = (p + delta - out_len
              - jnp.where(is_train, toff // 33, 0))
     e1 = jnp.where(in_lit & (p < csizes[:, None]),
                    (dst_p << 8) | slots.astype(I32), codec._BIG)
