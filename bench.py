@@ -200,6 +200,7 @@ def main() -> None:
         jax.profiler.stop_trace()
 
     best = max(results, key=lambda r: r["compress_gbps"])
+    best_d = max(results, key=lambda r: r["decompress_gbps"])
     line = {
         "metric": f"{args.codec}_shuffle_compress_device",
         "value": round(best["compress_gbps"], 2),
@@ -213,9 +214,9 @@ def main() -> None:
                     "ratio": r["ratio"],
                 } for r in results
             },
-            "decompress_gbps": round(best["decompress_gbps"], 2),
+            "decompress_gbps": round(best_d["decompress_gbps"], 2),
             "decompress_vs_baseline": round(
-                best["decompress_gbps"] / REF_DECOMPRESS_GBPS, 2
+                best_d["decompress_gbps"] / REF_DECOMPRESS_GBPS, 2
             ),
             "ratio": best["ratio"],
             "device_read_gbps": round(best["device_read_gbps"], 2),
