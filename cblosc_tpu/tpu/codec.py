@@ -167,43 +167,41 @@ def encode(
     ntok = jnp.sum(sub_start.astype(I32), axis=1)
     est_iters = ntok + npart + nfull // _FASTLIT + 8
 
-    # -- emission: two key lanes per position, one ascending sort ------------
+    # -- emission: one full lane + a 4:1-compacted side lane, one sort -------
+    # Token bytes ride lane 0 of consecutive match positions (a match is
+    # >= 3 long, and tok_size > 2 implies sub_len >= 9, so position u
+    # exists for every byte u < tok_size). Lane 1 is then used ONLY at
+    # control positions, which are provably >= 4 apart (a stretch start
+    # follows at least a 3-byte match plus one literal), so lane 1
+    # compacts 4:1 with a group-min — the sort shrinks from 2n to 1.25n.
     dm1 = d_row - 1
     dhi, dlo = dm1 >> 8, dm1 & 255
     tok0 = jnp.where(v < 6, (v + 1) << 5, 7 << 5) | dhi
 
     def tokbyte(j):
-        """j-th byte after tok0 (1-based): ext bytes then dist_lo."""
+        """j-th token byte (0-based): tok0, ext bytes, then dist_lo."""
         ext = jnp.clip(v - 6 - 255 * (j - 1), 0, 255)
-        return jnp.where(kext >= j, ext, dlo)
+        return jnp.where(j == 0, tok0, jnp.where(kext >= j, ext, dlo))
 
-    m1 = is_match & (suboff == 1)
-    m2 = is_match & (suboff == 2)
-    tokbase = off - tok_size     # at m1/m2: the sub-start's output offset
+    tokbase = jnp.where(sub_start, off, off - tok_size)
     si = s.astype(I32)
 
-    # lane 0: ctrl byte | literal byte | tok0 | token byte 2 | token byte 4
+    # lane 0: ctrl byte | literal byte | token byte `suboff`
     val0 = jnp.where(
         is_ctrl, chunk_len - 1,
-        jnp.where(sub_start, tok0,
-                  jnp.where(m1, tokbyte(2), jnp.where(m2, tokbyte(4), si))))
-    pos0 = jnp.where(m1, tokbase + 2, jnp.where(m2, tokbase + 4, off))
-    valid0 = (lit | sub_start
-              | (m1 & (tok_size >= 3)) | (m2 & (tok_size >= 5)))
+        jnp.where(is_match, tokbyte(suboff), si))
+    pos0 = jnp.where(is_match, tokbase + suboff, off)
+    valid0 = lit | (is_match & (suboff < tok_size))
 
-    # lane 1: literal byte after ctrl | token byte 1 | byte 3 | byte 5
-    val1 = jnp.where(
-        is_ctrl, si,
-        jnp.where(sub_start, tokbyte(1),
-                  jnp.where(m1, tokbyte(3), tokbyte(5))))
-    pos1 = jnp.where(m1, tokbase + 3,
-                     jnp.where(m2, tokbase + 5, off + 1))
-    valid1 = ((lit & is_ctrl) | sub_start
-              | (m1 & (tok_size >= 4)) | (m2 & (tok_size >= 6)))
+    # lane 1: the data byte displaced by a control byte
+    key1 = jnp.where(is_ctrl, ((off + 1) << 8) | si, _BIG)
+    if n % 4 == 0:
+        side = jnp.min(key1.reshape(N, n // 4, 4), axis=2)
+    else:
+        side = key1
 
     key0 = jnp.where(valid0, (pos0 << 8) | val0, _BIG)
-    key1 = jnp.where(valid1, (pos1 << 8) | val1, _BIG)
-    keys = jax.lax.sort(jnp.concatenate([key0, key1], axis=1), dimension=1)
+    keys = jax.lax.sort(jnp.concatenate([key0, side], axis=1), dimension=1)
 
     slots = (keys[:, :W] & 0xFF).astype(U8)
     slots = jnp.where(jnp.arange(W, dtype=I32)[None, :] < csize[:, None],

@@ -132,7 +132,14 @@ def encode(
     nseq = jnp.sum(sub_start.astype(I32) + is_start.astype(I32), axis=1)
     est_iters = nseq + 8
 
-    # -- emission keys -------------------------------------------------------
+    # -- emission: one full lane + a 4:1-compacted side lane ------------------
+    # Match-train bytes ride lane 0 of consecutive match positions (a
+    # train longer than t bytes implies the sub-match is long enough:
+    # 3 bytes always fit in the >=4 positions, km >= 1 means sub_len >=
+    # 19, km >= 2 means >= 274). Lane 1 carries only the stretch token
+    # and the literal-length extension bytes RE-SPREAD AT STRIDE 4
+    # (u-th ext byte from position 4u; kl <= L/4 since L >= 15), so
+    # lane-1 positions are >= 4 apart and compact 4:1 collision-free.
     # stretch-start output offset, recovered from any position's own off:
     # off[p] = off_s + q + [q>=1] + clamp(q-1, 0, kl)   (q = lit_off)
     off_s = jnp.where(
@@ -140,7 +147,6 @@ def encode(
         off - (lit_off + 1 + jnp.clip(lit_off - 1, 0, kl)))
     tok_lit = (jnp.minimum(L, 15) << 4) | jnp.where(
         has_follow, jnp.minimum(jnp.maximum(next_ml, 0), 15), 0)
-    lext_val = jnp.clip(L - 15 - 255 * (lit_off - 1), 0, 255)
     data_dst = off_s + 1 + kl + lit_off
 
     dlo = d_row & 255
@@ -159,36 +165,26 @@ def encode(
     # sub start, equal to base + train_len)
     tbase = jnp.where(sub_start, off, off - train_len)
 
-    # lane 0: literal data | train byte 0
-    val0 = jnp.where(lit, s.astype(I32), seq_byte(jnp.int32(0)))
-    pos0 = jnp.where(lit, data_dst, tbase)
-    valid0 = lit | sub_start
+    # lane 0: literal data | train byte `suboff`
+    val0 = jnp.where(lit, s.astype(I32), seq_byte(suboff))
+    pos0 = jnp.where(lit, data_dst, tbase + suboff)
+    valid0 = lit | (is_match & (suboff < train_len))
+    key0 = jnp.where(valid0, (pos0 << 8) | (val0 & 0xFF), codec._BIG)
 
-    # lane 1: stretch token / lit-ext | train byte 1
-    val1 = jnp.where(is_start, tok_lit,
-                     jnp.where(in_lext, lext_val, seq_byte(jnp.int32(1))))
-    pos1 = jnp.where(is_start, off_s,
-                     jnp.where(in_lext, off_s + lit_off, tbase + 1))
-    valid1 = is_start | in_lext | sub_start
+    # lane 1: stretch token at q==0; u-th lit-ext byte from q == 4u
+    u = lit_off >> 2
+    in_lext4 = lit & (lit_off % 4 == 0) & (u >= 1) & (u <= kl)
+    lext_val = jnp.clip(L - 15 - 255 * (u - 1), 0, 255)
+    val1 = jnp.where(is_start, tok_lit, lext_val)
+    pos1 = jnp.where(is_start, off_s, off_s + u)
+    valid1 = is_start | in_lext4
+    key1 = jnp.where(valid1, (pos1 << 8) | (val1 & 0xFF), codec._BIG)
+    if n % 4 == 0:
+        side = jnp.min(key1.reshape(N, n // 4, 4), axis=2)
+    else:
+        side = key1
 
-    # lanes 2-3: remaining train bytes ride match positions suboff 1..3
-    # (matches are >= 4 long so the positions exist; train <= 7 bytes)
-    j0 = 2 * suboff
-    mtail = is_match & (suboff >= 1) & (suboff <= 3)
-    val2 = seq_byte(j0)
-    pos2 = tbase + j0
-    valid2 = mtail & (j0 < train_len)
-    val3 = seq_byte(j0 + 1)
-    pos3 = tbase + j0 + 1
-    valid3 = mtail & (j0 + 1 < train_len)
-
-    def key(valid, pos, val):
-        return jnp.where(valid, (pos << 8) | (val & 0xFF), codec._BIG)
-
-    keys = jnp.concatenate(
-        [key(valid0, pos0, val0), key(valid1, pos1, val1),
-         key(valid2, pos2, val2), key(valid3, pos3, val3)], axis=1)
-    keys = jax.lax.sort(keys, dimension=1)
+    keys = jax.lax.sort(jnp.concatenate([key0, side], axis=1), dimension=1)
     slots = (keys[:, :W] & 0xFF).astype(U8)
     slots = jnp.where(jnp.arange(W, dtype=I32)[None, :] < csize[:, None],
                       slots, 0)
