@@ -55,7 +55,6 @@ import jax.numpy as jnp
 I32 = jnp.int32
 U8 = jnp.uint8
 
-_EXT = 4              # max length-extension bytes per match token we emit
 SUBMAX = 1024         # max bytes decoded per emitted match token
 _LITW = 32            # slow-path literal window (a literal chunk is <= 32 B)
 _FASTLIT = 8          # literal cells decoded per fast-path iteration

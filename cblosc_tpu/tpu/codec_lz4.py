@@ -35,7 +35,6 @@ I32 = jnp.int32
 U8 = jnp.uint8
 
 SUBL = 1024                    # max match bytes per emitted sequence
-_EXTM = 4                      # max match-length extension bytes we emit
 MAX_OUT = structured.MAX_OUT
 
 
