@@ -103,13 +103,13 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     # timed loops run on-device via fori_loop (amortizes tunnel dispatch);
     # every body output feeds the next input so nothing can be hoisted or
     # dead-code-eliminated
-    def chain(step):
+    def chain(step, reps=iters):
         @jax.jit
         def many(x):
             def body(i, x):
                 r = step(x)  # int32 scalar depending on ALL outputs
                 return x.at[0, 0].set(x[0, 0] ^ (r % 2).astype(jnp.uint8))
-            return jax.lax.fori_loop(0, iters, body, x)
+            return jax.lax.fori_loop(0, reps, body, x)
         return many
 
     def dep_compress(x):
@@ -121,7 +121,7 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
         return (csizes.sum() + out[0, 0].astype(jnp.int32)
                 + err.sum().astype(jnp.int32))
 
-    def time_it(many):
+    def time_it(many, reps=iters):
         y = many(x)
         flat = y.reshape(-1)
         _ = float(jnp.sum(flat[:8].astype(jnp.int32)))       # warm + compile
@@ -130,11 +130,14 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
         y = many(x)
         _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
         el = time.perf_counter() - t0
-        return max(el - lat, el * 0.02) / iters
+        return max(el - lat, el * 0.02) / reps
 
     comp_dt = time_it(chain(dep_compress))
     rt_dt = time_it(chain(dep_roundtrip))
-    read_dt = time_it(chain(lambda x: jnp.max(x).astype(jnp.int32) * 0))
+    # the plain read pass is ~100x faster than the codec: amortize far
+    # more repetitions or the readback latency dominates the measurement
+    read_dt = time_it(chain(lambda x: jnp.max(x).astype(jnp.int32) * 0,
+                            reps=iters * 40), reps=iters * 40)
 
     decomp_dt = max(rt_dt - comp_dt, 1e-9)
     return {

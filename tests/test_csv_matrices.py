@@ -59,7 +59,7 @@ def test_compress_roundtrip_matrix(typesize, nelems, align, clevel,
 
 @pytest.mark.parametrize(
     "typesize,nelems,align,clevel,shuffle,nthreads",
-    _rows("test_getitem.csv")[::3],  # every 3rd row: the full 399 add ~min
+    _rows("test_getitem.csv"),
 )
 def test_getitem_matrix(typesize, nelems, align, clevel, shuffle, nthreads):
     data = _buf(typesize, nelems, seed=typesize * 7 + nelems)

@@ -16,7 +16,7 @@ from tests.conftest import REFERENCE, make_buffer, reference_available
 
 
 @pytest.mark.parametrize("doshuffle", [0, 1, 2])
-@pytest.mark.parametrize("typesize", [1, 4, 8])
+@pytest.mark.parametrize("typesize", [1, 4, 8, 16])
 @pytest.mark.parametrize("kind", ["ramp", "lowentropy", "random", "zeros"])
 def test_tpu_chunk_roundtrip(rng, doshuffle, typesize, kind):
     data = make_buffer(rng, 256 * 1024 + 52, typesize, kind)
@@ -106,3 +106,29 @@ def test_tpu_lz4_chunk_roundtrip(rng, codec_name):
         host_chunk = b.compress_ctx(5, 1, 4, data, compressor=codec_name,
                                     backend="native")
         assert b.decompress_ctx(host_chunk, backend="tpu") == data
+
+
+def test_tpu_never_split_roundtrip(rng):
+    """NEVER_SPLIT leaves typesize-strided structure in one stream per
+    block — exercising the typesize-multiple distance candidates."""
+    data = make_buffer(rng, 256 * 1024, 4, "ramp")
+    chunk = b.compress_ctx(5, 1, 4, data, splitmode=C.NEVER_SPLIT,
+                           backend="tpu")
+    assert chunk
+    assert b.decompress_ctx(chunk, backend="tpu") == data
+    assert b.decompress_ctx(chunk, backend="native") == data
+
+
+def test_tpu_forced_blocksize(rng):
+    """A forced blocksize must survive the device-geometry retune and be
+    transformed exactly like the reference transforms it (the split
+    enlargement applies to forced sizes too, blosc.c:1031-1047)."""
+    from cblosc_tpu.core import policy
+    from cblosc_tpu.format.header import ChunkHeader
+
+    data = make_buffer(rng, 300_000, 4, "lowentropy")
+    expected = policy.compute_blocksize(5, 4, len(data), 65536)
+    chunk = b.compress_ctx(5, 1, 4, data, blocksize=65536, backend="tpu")
+    assert chunk
+    assert ChunkHeader.decode(chunk).blocksize == expected
+    assert b.decompress_ctx(chunk) == data
