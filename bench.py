@@ -135,9 +135,22 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     comp_dt = time_it(chain(dep_compress))
     rt_dt = time_it(chain(dep_roundtrip))
     # the plain read pass is ~100x faster than the codec: amortize far
-    # more repetitions or the readback latency dominates the measurement
-    read_dt = time_it(chain(lambda x: jnp.max(x).astype(jnp.int32) * 0,
-                            reps=iters * 40), reps=iters * 40)
+    # more repetitions, and never trust a measurement below half the
+    # elapsed time (the tunnel's async readback skews tiny intervals)
+    def time_read():
+        many = chain(lambda x: jnp.max(x).astype(jnp.int32) * 0,
+                     reps=iters * 40)
+        y = many(x)
+        flat = y.reshape(-1)
+        _ = float(jnp.sum(flat[:8].astype(jnp.int32)))
+        lat = _readback_latency(jnp, flat)
+        t0 = time.perf_counter()
+        y = many(x)
+        _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
+        el = time.perf_counter() - t0
+        return max(el - lat, el * 0.5) / (iters * 40)
+
+    read_dt = time_read()
 
     decomp_dt = max(rt_dt - comp_dt, 1e-9)
     return {

@@ -354,9 +354,8 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     minw = 32
     if slots.shape[1] < minw:
         slots = jnp.pad(slots, ((0, 0), (0, minw - slots.shape[1])))
-    recs, nrec, dist, ok = jax.vmap(
-        _walk_one, in_axes=(0, 0, None, None)
-    )(slots, csizes, out_len, maxrec)
+    recs, nrec, dist, ok = structured.grouped_walk(
+        _walk_one, slots, csizes, out_len, maxrec)
     rec_valid = jnp.arange(recs.shape[1], dtype=I32)[None, :] < nrec[:, None]
     sk, handled = structured._place_and_fill(
         slots, csizes, recs, rec_valid, dist, ok, out_len)
