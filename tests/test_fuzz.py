@@ -116,3 +116,26 @@ def test_fuzz_device_decoder_random_streams(rng):
     )
     produced = np.asarray(produced)
     assert ((produced >= 0) & (produced <= 1024)).all()
+
+
+def test_fuzz_device_pipeline_roundtrip(rng):
+    """Random content through the device pipeline at a fixed geometry
+    (fixed shapes keep this to one compile): every batch must roundtrip
+    or be stored raw — never corrupt."""
+    import jax.numpy as jnp
+
+    from cblosc_tpu.tpu import pipeline
+
+    from tests.conftest import make_buffer
+
+    for trial in range(8):
+        kind = ["zeros", "lowentropy", "random", "ramp"][trial % 4]
+        raw = np.frombuffer(
+            make_buffer(rng, 8 * 8192, 4, kind), np.uint8
+        ).reshape(8, 8192)
+        x = jnp.asarray(raw)
+        slots, csizes = pipeline.compress_blocks(x, 1, 4, 4)
+        rows = pipeline.mask_past_csize(slots, csizes, slots.shape[1])
+        out, err = pipeline.decompress_blocks(rows, csizes, 2048, 1, 4, 4)
+        assert not np.asarray(err).any(), (trial, kind)
+        assert np.array_equal(np.asarray(out), raw), (trial, kind)
