@@ -2,8 +2,11 @@
 
 from .engine import (  # noqa: F401
     BLOCKS,
+    SPLITS,
     compress_blocks_sharded,
     decompress_blocks_sharded,
     make_mesh,
+    make_mesh_2d,
     training_step,
+    training_step_2d,
 )

@@ -160,3 +160,124 @@ def training_step(blocks: jax.Array, doshuffle: int, typesize: int,
 
     out, err = dec(slots, csizes)
     return out, err, total
+
+
+SPLITS = "splits"
+
+
+def make_mesh_2d(n_devices: int | None = None, splits_axis: int = 2) -> Mesh:
+    """2-D mesh: blocks (data-parallel) x splits (tensor-parallel-like).
+
+    Sharding the split axis places each block's byte-plane sub-streams on
+    different devices — the TPU analog of the reference's per-split codec
+    calls inside one worker (blosc.c:627-719) lifted onto the ICI.
+    """
+    import numpy as np
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    while n % splits_axis:
+        splits_axis //= 2
+    return Mesh(np.array(devs).reshape(n // splits_axis, splits_axis),
+                (BLOCKS, SPLITS))
+
+
+def training_step_2d(blocks: jax.Array, doshuffle: int, typesize: int,
+                     nsplits: int, mesh: Mesh):
+    """Full roundtrip over a 2-D (blocks x splits) mesh.
+
+    Filters run block-sharded (a block's shuffle needs its whole row),
+    then the filtered streams reshard over BOTH axes for the codec —
+    the reshard and the layout all_gathers ride the ICI.
+    """
+    from jax.sharding import NamedSharding
+
+    nblocks, blocksize = blocks.shape
+    neblock = blocksize // nsplits
+    header = 16 + 4 * nblocks
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P(BLOCKS, None), out_specs=P(BLOCKS, None),
+        check_vma=False,
+    )
+    def filt(local):
+        from ..tpu import filters
+
+        return filters.apply_filter(doshuffle, typesize, local)
+
+    filtered = filt(blocks).reshape(nblocks, nsplits, neblock)
+    # reshard: split axis distributes over the second mesh axis
+    filtered = jax.lax.with_sharding_constraint(
+        filtered, NamedSharding(mesh, P(BLOCKS, SPLITS, None))
+    )
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P(BLOCKS, SPLITS, None),
+        out_specs=(P(BLOCKS, SPLITS, None), P(BLOCKS, SPLITS), P()),
+        check_vma=False,
+    )
+    def enc(streams):
+        from ..tpu import codec
+
+        nb, ns, neb = streams.shape
+        flat = streams.reshape(nb * ns, neb)
+        slots, csizes, _ = codec.encode(flat)
+        raw = csizes >= neb                    # stored-raw rule
+        csizes = jnp.where(raw, neb, csizes)
+        padded = jnp.pad(flat, ((0, 0), (0, slots.shape[1] - neb)))
+        slots = jnp.where(raw[:, None], padded, slots)
+        # layout scan over BOTH axes (deterministic bstarts input)
+        all_cs = jax.lax.all_gather(
+            jax.lax.all_gather(csizes, SPLITS), BLOCKS)
+        framed = all_cs.reshape(-1) + 4
+        total = header + framed.sum()
+        return (slots.reshape(nb, ns, -1), csizes.reshape(nb, ns),
+                total[None])
+
+    slots, csizes, total = enc(filtered)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(BLOCKS, SPLITS, None), P(BLOCKS, SPLITS)),
+        out_specs=(P(BLOCKS, SPLITS, None), P(BLOCKS, SPLITS)),
+        check_vma=False,
+    )
+    def dec(slots, csizes):
+        from ..tpu import pipeline, structured
+
+        nb, ns, W = slots.shape
+        rows = pipeline.mask_past_csize(
+            slots.reshape(nb * ns, W), csizes.reshape(-1), W)
+        raw = csizes.reshape(-1) >= neblock
+        import jax.numpy as jnp2
+
+        out, produced, err = structured.decode(
+            rows, jnp.where(raw, 0, csizes.reshape(-1)), neblock)
+        out = jnp.where(raw[:, None], rows[:, :neblock], out)
+        err = jnp.where(raw, False, err | (produced != neblock))
+        return out.reshape(nb, ns, neblock), err.reshape(nb, ns)
+
+    streams, err = dec(slots, csizes)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P(BLOCKS, None, None), out_specs=P(BLOCKS, None),
+        check_vma=False,
+    )
+    def unfilt(streams):
+        from ..tpu import filters
+
+        nb = streams.shape[0]
+        return filters.undo_filter(
+            doshuffle, typesize, streams.reshape(nb, blocksize))
+
+    # gather splits back per block before unfiltering
+    streams = jax.lax.with_sharding_constraint(
+        streams, NamedSharding(mesh, P(BLOCKS, None, None))
+    )
+    out = unfilt(streams)
+    return out, err, total[0]

@@ -110,3 +110,18 @@ def test_sharded_bitshuffle_roundtrip(rng, mesh):
     out, err, total = parallel.training_step(jnp.asarray(data), 2, T, T, mesh)
     assert not np.asarray(err).any()
     assert np.array_equal(np.asarray(out), data)
+
+
+def test_2d_mesh_roundtrip(rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh2 = parallel.make_mesh_2d(8, 2)
+    nblocks, bs, T = 16, 4096, 4
+    data = np.frombuffer(
+        make_buffer(rng, nblocks * bs, T, "lowentropy"), np.uint8
+    ).reshape(nblocks, bs)
+    out, err, total = jax.jit(
+        lambda x: parallel.training_step_2d(x, 1, T, T, mesh2)
+    )(data)
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out), data)
