@@ -38,7 +38,7 @@ streams need ~one iteration per token:
   * length-extension bytes are parsed 8 per iteration into an
     accumulator (bounded windows — no O(out_len) scans per token);
   * runs of 32-byte literal chunks (what our encoder emits inside long
-    literal stretches) decode 8 cells (256 B) per iteration.
+    literal stretches) decode _FASTLIT cells per iteration.
 
 Compressed outputs live in fixed worst-case slots plus a csize vector
 (SURVEY.md hard part #2: variable-length output under XLA static
@@ -57,11 +57,11 @@ U8 = jnp.uint8
 
 SUBMAX = 1024         # max bytes decoded per emitted match token
 _LITW = 32            # slow-path literal window (a literal chunk is <= 32 B)
-_FASTLIT = 8          # literal cells decoded per fast-path iteration
-_MATW = 256           # match copy window: vmapped dynamic slices cost
-                      # ~14ns/element on TPU, so a smaller window beats
-                      # fewer iterations (4 cheap iterations for a full
-                      # SUBMAX match; 1 for the common short match)
+_FASTLIT = 16         # literal cells decoded per fast-path iteration
+_FASTB = _FASTLIT * 32
+_MATW = 1024          # match copy window: vmapped dynamic ops cost ~2us
+                      # per row per CALL (size-independent), so wide
+                      # windows are free — one iteration per SUBMAX match
 
 # Candidate match distances: 1 catches constant runs, powers of two catch
 # arithmetic ramps (a step-s byte plane repeats with period 256/gcd(s,256))
@@ -270,12 +270,13 @@ def _decode_one(src: jax.Array, csize: jax.Array, out_len: int):
             w = jax.lax.dynamic_slice(src, (ipc,), (span,))
             cells = w.reshape(_FASTLIT, 33)
             data = cells[:, :32].reshape(-1)
-            buf = jnp.where(mat_t < 256, jnp.pad(data, (0, _MATW - 256)), 0)
+            buf = jnp.where(mat_t < _FASTB,
+                            jnp.pad(data, (0, _MATW - _FASTB)), 0)
             ip2 = ip + span
             tok2 = cells[_FASTLIT - 1, 32].astype(I32)
-            err2 = err | (op + 256 > out_len) | (ip2 > csize)
-            return (buf, jnp.int32(256), ip2, op + 256, tok2, rem, back,
-                    extacc, err2, ip2 >= csize)
+            err2 = err | (op + _FASTB > out_len) | (ip2 > csize)
+            return (buf, jnp.int32(_FASTB), ip2, op + _FASTB, tok2, rem,
+                    back, extacc, err2, ip2 >= csize)
 
         def slowlit(a):
             ip, op, token, rem, back, extacc, err, fin = a
@@ -299,7 +300,7 @@ def _decode_one(src: jax.Array, csize: jax.Array, out_len: int):
             ctrls = jax.lax.dynamic_slice(src, (ipc,), (span,)).reshape(
                 _FASTLIT, 33)[:, 32]
             ok = ((token == 31) & (ip + span < csize)
-                  & (op + 256 <= out_len) & (ipc == ip)
+                  & (op + _FASTB <= out_len) & (ipc == ip)
                   & jnp.all(ctrls[:_FASTLIT - 1] == 31))
             return jax.lax.cond(ok, fastlit, slowlit, a)
 
@@ -370,7 +371,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     zero beyond. Returns (out uint8 (N, out_len), produced int32 (N,),
     err bool (N,)).
     """
-    minw = _FASTLIT * 33 + 8
+    minw = _FASTLIT * 33 + 24
     if slots.shape[1] < minw:                  # bounded windows need room
         slots = jnp.pad(slots, ((0, 0), (0, minw - slots.shape[1])))
     return jax.vmap(_decode_one, in_axes=(0, 0, None))(slots, csizes, out_len)

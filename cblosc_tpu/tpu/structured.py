@@ -110,14 +110,15 @@ def _walk_one(src: jax.Array, csize: jax.Array, out_len: int, maxrec: int):
         is_lit = token < 32
         llen = token + 1
         ls_ip2 = ip + llen
+        fb = codec._FASTB
         ctrls_ok = jnp.sum(jnp.where(
-            (wwi >= sh + 32) & (wwi < sh + 32 + 7 * 33)
+            (wwi >= sh + 32) & (wwi < sh + 32 + (codec._FASTLIT - 1) * 33)
             & ((wwi - sh - 32) % 33 == 0) & (win != 31), 1, 0)) == 0
         fast = (is_lit & (token == 31) & (ip + span < csize)
-                & (op + 256 <= out_len) & (sh == 0) & ctrls_ok)
+                & (op + fb <= out_len) & (sh == 0) & ctrls_ok)
         slow = is_lit & ~fast
         ip1 = jnp.where(fast, ip + span, jnp.where(slow, ls_ip2, ip))
-        op1 = jnp.where(fast, op + 256, jnp.where(slow, op + llen, op))
+        op1 = jnp.where(fast, op + fb, jnp.where(slow, op + llen, op))
         err1 = err | (slow & ((op + llen > out_len) | (ls_ip2 > csize)))
         lit_fin = is_lit & (ip1 >= csize)
         rec_lit = jnp.stack([
@@ -365,6 +366,9 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     if out_len > MAX_OUT or out_len < 8:
         return codec.decode(slots, csizes, out_len)
     N = slots.shape[0]
+    minw = codec._FASTLIT * 33 + 24          # the walk's window width
+    if slots.shape[1] < minw:
+        slots = jnp.pad(slots, ((0, 0), (0, minw - slots.shape[1])))
     maxrec = max_records(out_len)
     recs, dist, ok = grouped_walk(_walk_one, slots, csizes, out_len, maxrec)
     sk, handled = _place_and_fill(
