@@ -327,27 +327,28 @@ def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
     skel = (skel[:, :out_len] & 0xFF).astype(U8)
 
     # --- residue-column forward fills, one per candidate distance ---------
-    # each fill sits behind a top-level lax.cond (a REAL runtime branch,
-    # unlike vmapped conds), so only distances present in the batch pay
+    # NOTE: the optimization_barrier below is load-bearing. XLA TPU
+    # miscompiles the fused place->fill program (a dd-fill silently
+    # yields zeros for rows of that distance; v5e, jax 0.9 / libtpu
+    # 2026-08; correct on CPU, correct when stages compile separately,
+    # and Heisenbergs away when intermediates become outputs). The
+    # barrier before each cummax pins the fill's input and dodges the
+    # bad fusion. For the same reason the fills are NOT gated behind
+    # lax.cond (conditionals showed the same corruption).
     out = skel
-    any_m = jnp.any(is_match, axis=1)
     for dd in FILL_DISTANCES:
         if dd >= out_len:
             continue
-
-        def fill_dd(out, dd=dd):
-            m = -(-out_len // dd) * dd
-            pad = m - out_len
-            sk = jnp.pad(skel, ((0, 0), (0, pad))).reshape(N, m // dd, dd)
-            im = jnp.pad(is_match, ((0, 0), (0, pad))).reshape(N, m // dd, dd)
-            rows1 = jnp.arange(m // dd, dtype=I32)[None, :, None]
-            key = jnp.where(~im, ((rows1 + 1) << 8) | sk.astype(I32), 0)
-            filled = (jax.lax.cummax(key, axis=1) & 0xFF).astype(U8)
-            cand = jnp.where(im, filled, sk).reshape(N, m)[:, :out_len]
-            return jnp.where((dist == dd)[:, None], cand, out)
-
-        used = jnp.any((dist == dd) & ok & any_m)
-        out = jax.lax.cond(used, fill_dd, lambda o: o, out)
+        m = -(-out_len // dd) * dd
+        pad = m - out_len
+        sk = jnp.pad(skel, ((0, 0), (0, pad))).reshape(N, m // dd, dd)
+        im = jnp.pad(is_match, ((0, 0), (0, pad))).reshape(N, m // dd, dd)
+        rows1 = jnp.arange(m // dd, dtype=I32)[None, :, None]
+        key = jnp.where(~im, ((rows1 + 1) << 8) | sk.astype(I32), 0)
+        key = jax.lax.optimization_barrier(key)   # load-bearing, see above
+        filled = (jax.lax.cummax(key, axis=1) & 0xFF).astype(U8)
+        cand = jnp.where(im, filled, sk).reshape(N, m)[:, :out_len]
+        out = jnp.where((dist == dd)[:, None], cand, out)
 
     handled = ok & (
         (dist == 0) | jnp.isin(dist, jnp.asarray(FILL_DISTANCES, I32))
