@@ -2,8 +2,9 @@
 """cblosc_tpu benchmark — TPU port of the reference bench (bench/bench.c).
 
 Methodology mirrors the reference: synthetic data with a bounded number
-of significant bits (bench.c:150-169), a ~256 MB working set processed as
-many chunks (bench.c nchunks/WORKINGSET logic), default chunk = 4 MB,
+of significant bits (bench.c:150-169), a large working set processed as
+many chunks (bench.c nchunks/WORKINGSET logic; 128 MB default here keeps
+the wall clock within CI budgets), default chunk = 4 MB,
 typesize 8, shuffle + blosclz (bench.c:380-383). Throughput is measured
 on the device-resident pipeline (data already in HBM — the TPU-native
 deployment shape: compress before a DCN transfer / checkpoint write),
@@ -176,10 +177,10 @@ def main() -> None:
                     help="0 = sweep clevels 1/5/9 and report the best "
                          "(the reference's peak-throughput methodology)")
     ap.add_argument("--shuffle", type=int, default=1, choices=[0, 1, 2])
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--codec", default="blosclz",
                     choices=["blosclz", "lz4", "lz4hc"])
-    ap.add_argument("--workingset", type=int, default=256 * 1024 * 1024)
+    ap.add_argument("--workingset", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--suite", action="store_true",
                     help="clevel 1-9 sweep like `bench blosclz shuffle suite`")
     ap.add_argument("--json-only", action="store_true")
