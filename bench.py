@@ -79,7 +79,8 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
 
     def compress(x):
         return pipeline.compress_blocks(
-            x, doshuffle, typesize, nsplits, 48, compcode)
+            x, doshuffle, typesize, nsplits,
+            policy.device_min_bytes_per_iter(clevel), compcode)
 
     def roundtrip(x):
         slots, csizes = compress(x)

@@ -293,7 +293,10 @@ def compress_ctx(
                 "destination budget (returning empty; keep the original "
                 "buffer)", file=sys.stderr,
             )
-        elif level >= 2 and out and len(out) >= nbytes + C.MAX_OVERHEAD:
+        elif (level >= 2 and out and len(out) >= nbytes + C.MAX_OVERHEAD
+              and clevel != 0 and nbytes >= C.MIN_BUFFERSIZE):
+            # only warn when compression was attempted and fell back —
+            # clevel 0 / tiny buffers are memcpy mode by design
             import sys
 
             print("Blosc warning: chunk stored uncompressed (memcpy mode)",
@@ -312,7 +315,11 @@ def compress(
     """Global-config compression (blosc_compress, blosc.h:120-173)."""
     if not _state.initialized:
         init()
-    if os.environ.get("BLOSC_NOLOCK") == "1":
+    # env overrides run BEFORE the NOLOCK reroute: the reference reads all
+    # BLOSC_* vars first and notes NOLOCK "should be the last env var"
+    # (blosc.c:1320-1408); NOLOCK triggers on ANY set value (getenv != NULL).
+    clevel, doshuffle, typesize = _env_overrides(clevel, doshuffle, typesize)
+    if os.environ.get("BLOSC_NOLOCK") is not None:
         # reroute to the lock-free context API (blosc.c:1379-1408)
         return compress_ctx(
             clevel, doshuffle, typesize, src, destsize,
@@ -322,7 +329,6 @@ def compress(
             splitmode=_state.splitmode, backend=backend,
         )
     with _state.lock:
-        clevel, doshuffle, typesize = _env_overrides(clevel, doshuffle, typesize)
         name = C.COMPNAMES[_state.compressor]
         blocksize = _state.force_blocksize
         nthreads = _state.nthreads
@@ -350,8 +356,8 @@ def decompress(src, destsize: int | None = None, backend: str | None = None) -> 
     """Global-config decompression (blosc_decompress, blosc.h:221-260)."""
     if not _state.initialized:
         init()
-    if os.environ.get("BLOSC_NOLOCK") == "1":
-        return decompress_ctx(src, destsize, _state.nthreads, backend=backend)
+    # BLOSC_NTHREADS applies before the NOLOCK reroute (blosc.c:1543-1562);
+    # NOLOCK triggers on any set value.
     v = os.environ.get("BLOSC_NTHREADS")
     if v is not None:
         try:
@@ -360,6 +366,8 @@ def decompress(src, destsize: int | None = None, backend: str | None = None) -> 
                 set_nthreads(iv)
         except ValueError:
             pass
+    # (the ctx path is already lock-free here, so BLOSC_NOLOCK needs no
+    # separate reroute on decompression)
     return decompress_ctx(src, destsize, _state.nthreads, backend=backend)
 
 

@@ -189,3 +189,24 @@ def get_accel(compcode: int, clevel: int) -> int:
     if compcode == C.LZ4:
         return 10 - clevel
     return 1
+
+
+def device_min_bytes_per_iter(clevel: int) -> int:
+    """Decode-speed policy for the device encoder's stored-raw rule.
+
+    Streams whose estimated decoder iteration count exceeds
+    neblock / min_bytes_per_iter are stored raw even when they compress a
+    little: a marginal ratio win is not worth serializing the whole
+    batch's decode loop (see pipeline.compress_blocks). clevel 9 asks for
+    maximum ratio, so the guard loosens there; the CBLOSC_TPU_DECODE_EFFORT
+    env var overrides (0 = reference-like maximum-ratio behavior).
+    """
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_DECODE_EFFORT")
+    if v is not None:
+        try:
+            return max(0, int(v))
+        except ValueError:
+            pass
+    return 8 if clevel >= 9 else 48

@@ -141,14 +141,28 @@ def bitunshuffle(x: jax.Array, typesize: int) -> jax.Array:
 # Dispatch helpers used by the chunk pipeline
 # ---------------------------------------------------------------------------
 
+def _with_tail(kernel, typesize: int, x: jax.Array, quantum: int) -> jax.Array:
+    """Run `kernel` on the complete-element body, pass the tail through
+    (leftover semantics of shuffle.c:367-443 / filters_np)."""
+    body = x.shape[1] // quantum * quantum
+    if body == 0:
+        return x
+    if body == x.shape[1]:
+        return kernel(x, typesize)
+    return jnp.concatenate([kernel(x[:, :body], typesize), x[:, body:]],
+                           axis=1)
+
+
 def apply_filter(doshuffle: int, typesize: int, x: jax.Array) -> jax.Array:
     from ..format import constants as C
 
     if doshuffle == C.SHUFFLE and typesize > 1:
-        return shuffle(x, typesize)
+        return _with_tail(shuffle, typesize, x, typesize)
     if doshuffle == C.BITSHUFFLE:
-        if (x.shape[1] // typesize) % 8 == 0 and x.shape[1] % typesize == 0:
-            return bitshuffle(x, typesize)
+        # complete elements only; their count must be a multiple of 8
+        # (tail bytes of an incomplete element copy through)
+        if (x.shape[1] // typesize) % 8 == 0:
+            return _with_tail(bitshuffle, typesize, x, typesize)
         return x  # pass-through geometry (shuffle.c:412-414)
     return x
 
@@ -157,9 +171,9 @@ def undo_filter(doshuffle: int, typesize: int, x: jax.Array) -> jax.Array:
     from ..format import constants as C
 
     if doshuffle == C.SHUFFLE and typesize > 1:
-        return unshuffle(x, typesize)
+        return _with_tail(unshuffle, typesize, x, typesize)
     if doshuffle == C.BITSHUFFLE:
-        if (x.shape[1] // typesize) % 8 == 0 and x.shape[1] % typesize == 0:
-            return bitunshuffle(x, typesize)
+        if (x.shape[1] // typesize) % 8 == 0:
+            return _with_tail(bitunshuffle, typesize, x, typesize)
         return x
     return x

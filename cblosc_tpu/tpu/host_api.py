@@ -70,7 +70,8 @@ def compress_chunk(ctx, data: bytes) -> bytes | None:
     src = np.frombuffer(bytes(data), dtype=np.uint8)
     x = jnp.asarray(src[: nfull * ctx.blocksize].reshape(nfull, ctx.blocksize))
     slots, csizes = pipeline.compress_blocks(
-        x, ctx.doshuffle, ctx.typesize, nsplits, 48, ctx.compcode
+        x, ctx.doshuffle, ctx.typesize, nsplits,
+        policy.device_min_bytes_per_iter(ctx.clevel), ctx.compcode
     )
     slots = np.asarray(slots)
     csizes = np.asarray(csizes)

@@ -68,3 +68,32 @@ def test_filter_dispatch_passthrough(rng):
     x = _blocks(rng, 2, 4 * 9)
     got = np.asarray(tf.apply_filter(2, 4, jnp.asarray(x)))
     assert np.array_equal(got, x)
+
+
+@pytest.mark.parametrize("typesize", [3, 5, 8, 16])
+def test_apply_filter_leftover_tail_matches_oracle(rng, typesize):
+    """Blocksize not a multiple of typesize: the body shuffles, the tail
+    passes through (shuffle.c leftover memcpy) instead of raising —
+    header-valid foreign chunks with dont_split can carry this geometry."""
+    from cblosc_tpu.format import constants as C
+
+    bs = 64 * typesize + (typesize - 1)
+    x = _blocks(rng, 3, bs)
+    got = np.asarray(tf.apply_filter(C.SHUFFLE, typesize, jnp.asarray(x)))
+    want = np.stack([filters_np.shuffle(typesize, row) for row in x])
+    assert np.array_equal(got, want)
+    back = np.asarray(tf.undo_filter(C.SHUFFLE, typesize, jnp.asarray(got)))
+    assert np.array_equal(back, x)
+
+
+@pytest.mark.parametrize("typesize", [2, 4, 8])
+def test_apply_filter_bitshuffle_leftover_tail(rng, typesize):
+    from cblosc_tpu.format import constants as C
+
+    bs = 8 * 16 * typesize + (typesize - 1)   # nel % 8 == 0, tail bytes
+    x = _blocks(rng, 2, bs)
+    got = np.asarray(tf.apply_filter(C.BITSHUFFLE, typesize, jnp.asarray(x)))
+    want = np.stack([filters_np.bitshuffle(typesize, row) for row in x])
+    assert np.array_equal(got, want)
+    back = np.asarray(tf.undo_filter(C.BITSHUFFLE, typesize, jnp.asarray(got)))
+    assert np.array_equal(back, x)
