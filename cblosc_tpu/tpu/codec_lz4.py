@@ -200,142 +200,166 @@ def max_records(out_len: int) -> int:
     return out_len // 16 + 32
 
 
-def _walk_one(src: jax.Array, csize: jax.Array, out_len: int, maxrec: int):
-    """Parse one LZ4 block into records (kind 0 literals / 1 match).
+def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
+                maxrec: int):
+    """Parse a batch of LZ4 blocks into records (kind 0 literals /
+    1 match), batched like structured._walk_batch: each iteration reads
+    one aligned 512-byte window per row via masked reductions and runs
+    up to _T parse steps on it.
 
-    Phases: 0 = parse a full sequence (token + lit-ext in window 1,
-    offset + match-ext in window 2); 1 = continue a long literal-length
-    extension; 2 = continue a long match-length extension. Common
-    streams stay in phase 0 — one sequence (two records) per iteration.
+    Per-row FSM phases: 0 = at a sequence token (parse token +
+    literal-length ext), 1 = literal-length ext continuation, 2 = at the
+    2-byte offset (parse offset + match-length ext), 3 = match-length
+    ext continuation. A short sequence costs two steps (token phase,
+    offset phase); literal bytes are skipped, not read, so arbitrarily
+    long literal runs cost one step plus a window re-read.
     """
-    W = src.shape[0]
-    srci = src.astype(I32)
-    WINW = 16
-    wwi = jnp.arange(WINW, dtype=I32)
-    recs0 = jnp.zeros((maxrec, 4), I32)
+    st = structured
+    R, W = slots.shape
+    B = W // 128
+    src3 = slots.reshape(R, B, 128).astype(I32)
+    T, KCH, WINW, WB = st._T, st._KCH, st._WINW, st._WB
+    nchunks = -(-maxrec // (T * KCH))
+    recs0 = jnp.full((R, nchunks * T * KCH, 4), -1, I32)
+    invalid = jnp.full((4,), -1, I32)
+    wwi = jnp.arange(WINW, dtype=I32)[None, :]
+    swi = jnp.arange(st._SUBW, dtype=I32)[None, :]
 
-    # state: (recs, k, ip, op, phase, mlsave, offsave, extacc, dist, err, fin)
-    def cond(st):
-        return ~(st[9] | st[10])
+    def inner(carry, _):
+        ip, op, phase, mlsave, offsave, extacc, dist, err, fin = carry
+        ipblk = jnp.clip(ip // 128, 0, B - WB)
+        winc = ipblk * 128
+        win = st._select_rows(src3, ipblk, WB)
+        win = jnp.where(winc[:, None] + wwi < csizes[:, None], win, 0)
+        win16 = win.reshape(R, WINW // 32, 32)
 
-    def body(st):
-        recs, k, ip, op, phase, mlsave, offsave, extacc, dist, err, fin = st
-        is0 = phase == 0
-        is1 = phase == 1
-        is2 = phase == 2
+        step_recs = []
+        for _t in range(T):
+            q = ip - winc
+            act = ~(err | fin) & (q <= WINW - st._MARGIN)
+            qrow = q >> 5
+            sub = st._select_rows(win16, qrow, 2)
+            sq = q - (qrow << 5)
 
-        winc = jnp.minimum(ip, jnp.maximum(W - WINW, 0))
-        win = jax.lax.dynamic_slice(srci, (winc,), (WINW,))
-        win = jnp.where(wwi + winc < csize, win, 0)
-        sh = ip - winc
+            def sel(off):
+                return jnp.sum(jnp.where(swi == off[:, None], sub, 0),
+                               axis=1)
 
-        def sel(w, off):
-            return jnp.sum(jnp.where(wwi == off, w, 0))
+            is0 = phase == 0
+            is1 = phase == 1
+            is2 = phase == 2
+            is3 = phase == 3
 
-        tok = sel(win, sh)
-        ll_nib = tok >> 4
-        ml_nib0 = tok & 15
+            tok = sel(sq)
+            ll_nib = tok >> 4
+            ml_nib = tok & 15
 
-        # --- literal length (phase 0 inline ext, phase 1 continuation) ----
-        lbase = jnp.where(is0, sh + 1, sh)
-        inw = (wwi >= lbase) & (wwi < lbase + 8)
-        lead = jnp.cumprod(jnp.where(
-            wwi < lbase, 1, (jnp.where(inw, win, -1) == 255).astype(I32)))
-        k255 = jnp.sum(jnp.where(wwi >= lbase, lead, 0))
-        need_lext = (is0 & (ll_nib == 15)) | is1
-        lext_more = need_lext & (k255 >= 8)
-        lastb = sel(win, lbase + jnp.minimum(k255, 7))
-        litlen = jnp.where(
-            need_lext,
-            jnp.where(is0, 15, extacc) + 255 * k255 + lastb,
-            ll_nib)
-        ipl = jnp.where(
-            need_lext & ~lext_more, ip + (lbase - sh) + k255 + 1,
-            jnp.where(is0, ip + 1, ip))
-        # phase 2 never runs the literal step
-        do_lit = (is0 | is1) & ~lext_more
-        ip2 = ipl + jnp.where(do_lit, litlen, 0)
-        op2 = op + jnp.where(do_lit, litlen, 0)
-        err_a = (do_lit & ((ip2 > csize) | (op2 > out_len))) \
-            | (lext_more & (ip + (lbase - sh) + 8 >= csize))
-        fin_a = do_lit & (ip2 >= csize) & ~err_a       # final literals
-        rec_lit = jnp.stack([jnp.int32(0), ipl, op, litlen])
-        has_lit = do_lit & (litlen > 0) & ~err_a
+            # one 255-run count per step, at the phase's ext position
+            ebase = sq + jnp.where(is0, 1, jnp.where(is2, 2, 0))
+            inm = (swi >= ebase[:, None]) & (swi < ebase[:, None] + 8)
+            lead = jnp.cumprod(
+                jnp.where(swi < ebase[:, None], 1,
+                          (jnp.where(inm, sub, -1) == 255).astype(I32)),
+                axis=1)
+            k255 = jnp.sum(jnp.where(swi >= ebase[:, None], lead, 0), axis=1)
+            lastb = sel(ebase + jnp.minimum(k255, 7))
 
-        # --- offset + match length ------------------------------------------
-        # phase 0/1 finish: parse at ip2 (second window); phase 2: parse
-        # the pending match-length extension at ip (first window)
-        m_seq = do_lit & ~fin_a & ~err_a
-        winc2 = jnp.minimum(ip2, jnp.maximum(W - WINW, 0))
-        win2 = jax.lax.dynamic_slice(srci, (winc2,), (WINW,))
-        win2 = jnp.where(wwi + winc2 < csize, win2, 0)
-        sh2 = ip2 - winc2
-        offv = jnp.where(
-            m_seq, sel(win2, sh2) | (sel(win2, sh2 + 1) << 8), offsave)
-        nib = jnp.where(is0, ml_nib0, mlsave)
-        need_mext = (m_seq & (nib == 15)) | is2
-        mbase = jnp.where(is2, sh, sh2 + 2)
-        mw = jnp.where(is2, win, win2)
-        inm = (wwi >= mbase) & (wwi < mbase + 8)
-        mlead = jnp.cumprod(jnp.where(
-            wwi < mbase, 1, (jnp.where(inm, mw, -1) == 255).astype(I32)))
-        km = jnp.sum(jnp.where(wwi >= mbase, mlead, 0))
-        mext_more = need_mext & (km >= 8)
-        mlastb = sel(mw, mbase + jnp.minimum(km, 7))
-        mext_base = jnp.where(is2, extacc, 15)
-        mlen = 4 + jnp.where(need_mext, mext_base + 255 * km + mlastb, nib)
-        m_done = (m_seq | is2) & ~mext_more
-        ip3 = jnp.where(
-            is2, ip + km + 1,
-            ip2 + 2 + jnp.where(need_mext, km + 1, 0))
-        err_b = err_a | (m_done & (
-            (offv == 0) | (offv > op2) | (op2 + mlen > out_len)
-            | (ip3 > csize)))
-        d2 = jnp.where(dist == 0, offv, dist)
-        err_b = err_b | (m_done & (offv != d2))
-        rec_m = jnp.stack([jnp.int32(1), offv, op2, mlen])
+            # ---- literal side (phases 0/1) --------------------------------
+            need_lext = (is0 & (ll_nib == 15)) | is1
+            lext_more = need_lext & (k255 >= 8)
+            litlen = jnp.where(
+                need_lext, jnp.where(is0, 15, extacc) + 255 * k255 + lastb,
+                ll_nib)
+            hdr = (jnp.where(is0, 1, 0)
+                   + jnp.where(need_lext & ~lext_more, k255 + 1, 0))
+            do_lit = (is0 | is1) & ~lext_more
+            ipl = ip + hdr
+            ip2 = ipl + litlen
+            op2 = op + jnp.where(do_lit, litlen, 0)
+            lit_err = do_lit & ((ip2 > csizes) | (op2 > out_len))
+            lit_fin = do_lit & ~lit_err & (ip2 >= csizes)   # final literals
+            rec_lit = jnp.stack(
+                [jnp.zeros_like(ip), ipl, op, litlen], axis=1)
+            has_lit = do_lit & ~lit_err & (litlen > 0)
 
-        # --- state advance ----------------------------------------------------
-        phase2 = jnp.where(
-            lext_more, 1,
-            jnp.where(mext_more, 2, 0)).astype(I32)
-        ip_n = jnp.where(
-            lext_more, ip + (lbase - sh) + 8,
-            jnp.where(mext_more,
-                      jnp.where(is2, ip + 8, ip2 + 2 + 8),
-                      jnp.where(m_done, ip3, ip2)))
-        op_n = jnp.where(m_done, op2 + mlen, op2)
-        mlsave_n = jnp.where(lext_more & is0, ml_nib0, mlsave)
-        offsave_n = jnp.where(mext_more & ~is2, offv, offsave)
-        extacc_n = jnp.where(
-            lext_more, jnp.where(is0, 15, extacc) + 255 * 8,
-            jnp.where(mext_more, mext_base + 255 * 8, 0)).astype(I32)
-        dist_n = jnp.where(m_done, d2, dist)
+            # ---- match side (phases 2/3) ----------------------------------
+            offv = jnp.where(is2, sel(sq) | (sel(sq + 1) << 8), offsave)
+            need_mext = (is2 & (mlsave == 15)) | is3
+            mext_more = need_mext & (k255 >= 8)
+            mlen = 4 + jnp.where(
+                need_mext, jnp.where(is2, 15, extacc) + 255 * k255 + lastb,
+                mlsave)
+            m_done = (is2 | is3) & ~mext_more
+            ip3 = ip + jnp.where(is2, 2, 0) \
+                + jnp.where(need_mext & ~mext_more, k255 + 1, 0)
+            d2 = jnp.where(dist == 0, offv, dist)
+            m_err = m_done & (
+                (offv == 0) | (offv > op) | (op + mlen > out_len)
+                | (ip3 > csizes) | (offv != d2))
+            rec_m = jnp.stack([jnp.ones_like(ip), offv, op, mlen], axis=1)
 
-        valid0 = has_lit
-        valid1 = m_done
-        # write lit rec then match rec (match slides into slot 0 when no
-        # literal record was produced)
-        row0 = jnp.where(has_lit, rec_lit, rec_m)
-        row1 = rec_m
-        nadd = valid0.astype(I32) + valid1.astype(I32)
-        nadd = jnp.where(has_lit & m_done, 2, jnp.minimum(nadd, 1))
-        err_c = err_b | (k + nadd > maxrec)
-        kc = jnp.minimum(k, maxrec - 2)
+            # ---- merge + state advance ------------------------------------
+            ext_err = (lext_more | mext_more) & (ip + 8 >= csizes)
+            err_t = jnp.where(is0 | is1, lit_err, m_err) | ext_err
+            good = act & ~err_t
+            valid = good & (has_lit | m_done)
+            rec = jnp.where((is0 | is1)[:, None], rec_lit, rec_m)
+            step_recs.append(
+                jnp.where(valid[:, None], rec, invalid[None, :]))
+
+            phase_n = jnp.where(
+                lext_more, 1,
+                jnp.where(mext_more, 3,
+                          jnp.where(do_lit & ~lit_fin, 2, 0)))
+            ip_n = jnp.where(
+                lext_more, ip + jnp.where(is0, 9, 8),
+                jnp.where(mext_more, ip + jnp.where(is2, 10, 8),
+                          jnp.where(do_lit, ip2, ip3)))
+            op_n = jnp.where(do_lit, op2,
+                             jnp.where(m_done, op + mlen, op))
+            mlsave_n = jnp.where(is0, ml_nib, mlsave)
+            offsave_n = jnp.where(is2, offv, offsave)
+            extacc_n = jnp.where(
+                lext_more, jnp.where(is0, 15, extacc) + 255 * 8,
+                jnp.where(mext_more, jnp.where(is2, 15, extacc) + 255 * 8,
+                          0))
+            dist_n = jnp.where(m_done, d2, dist)
+
+            upd = (ip_n, op_n, phase_n, mlsave_n, offsave_n, extacc_n,
+                   dist_n)
+            old = (ip, op, phase, mlsave, offsave, extacc, dist)
+            ip, op, phase, mlsave, offsave, extacc, dist = (
+                jnp.where(good, n, o) for n, o in zip(upd, old))
+            err = err | (act & err_t)
+            fin = fin | (good & lit_fin)
+
+        rows = jnp.stack(step_recs, axis=1)
+        return (ip, op, phase, mlsave, offsave, extacc, dist, err, fin), rows
+
+    def cond(stt):
+        recs, kslot, carry = stt[0], stt[1], stt[2:]
+        return jnp.any(~(carry[7] | carry[8])) & (kslot < nchunks)
+
+    def body(stt):
+        recs, kslot = stt[0], stt[1]
+        carry, rows = jax.lax.scan(inner, stt[2:], None, length=KCH)
+        rows = jnp.moveaxis(rows, 0, 1).reshape(R, KCH * T, 4)
         recs = jax.lax.dynamic_update_slice(
-            recs, jnp.stack([row0, row1]), (kc, 0))
-        return (recs, k + nadd, ip_n, op_n, phase2, mlsave_n, offsave_n,
-                extacc_n, dist_n, err_c, fin | fin_a)
+            recs, rows, (0, kslot * KCH * T, 0))
+        return (recs, kslot + 1) + carry
 
-    recs, k, ip, op, phase, mlsave, offsave, extacc, dist, err, fin = \
-        jax.lax.while_loop(
-            cond, body,
-            (recs0, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-             csize <= 0, csize <= 0),
-        )
+    zero = jnp.zeros((R,), I32)
+    stt = jax.lax.while_loop(
+        cond, body,
+        (recs0, jnp.int32(0),
+         zero, zero, zero, zero, zero, zero, zero,
+         csizes <= 0, csizes <= 0),
+    )
+    recs = stt[0]
+    ip, op, phase, mlsave, offsave, extacc, dist, err, fin = stt[2:]
+    err = err | ~(err | fin)
     ok = ~err & (op == out_len)
-    return recs, k, dist, ok
+    return recs, dist, ok
 
 
 @partial(jax.jit, static_argnums=2)
@@ -345,19 +369,48 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     Rows the walk cannot handle report err=True (the caller falls back
     to a host engine for the whole chunk). Returns (out, produced, err).
     """
-    N = slots.shape[0]
+    N, W = slots.shape
     if out_len > MAX_OUT or out_len < 8:
         return (jnp.zeros((N, out_len), U8),
                 jnp.zeros((N,), I32),
                 csizes > 0)
     maxrec = max_records(out_len)
-    minw = 32
-    if slots.shape[1] < minw:
-        slots = jnp.pad(slots, ((0, 0), (0, minw - slots.shape[1])))
-    recs, nrec, dist, ok = structured.grouped_walk(
-        _walk_one, slots, csizes, out_len, maxrec)
-    rec_valid = jnp.arange(recs.shape[1], dtype=I32)[None, :] < nrec[:, None]
-    sk, handled = structured._place_and_fill(
-        slots, csizes, recs, rec_valid, dist, ok, out_len)
+    Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
+    slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
+    group = structured._group_rows(out_len)
+
+    def run(sl, cs):
+        recs, dist, ok = _walk_batch(sl, cs, out_len, maxrec)
+        valid = recs[..., 0] >= 0
+        splat = ok & (dist <= 1) & (cs <= structured._PREFIX)
+        fast = jnp.all(splat | (cs <= 0))
+        return jax.lax.cond(
+            fast,
+            lambda _: structured._splat_place(
+                sl, cs, recs, valid, splat, out_len),
+            lambda _: structured._place_and_fill(
+                sl[:, :W], cs, recs, valid, dist, ok, out_len),
+            None)
+
+    if N <= group:
+        sk, handled = run(slots_w, csizes)
+    else:
+        # rows sorted by csize in bounded groups (walk exits at group
+        # pace; the place sort workspace stays within budget)
+        order = jnp.argsort(csizes)
+        inv = jnp.argsort(order)
+        sl = jnp.take(slots_w, order, axis=0)
+        cs = jnp.take(csizes, order)
+        pad = (-N) % group
+        if pad:
+            sl = jnp.pad(sl, ((0, pad), (0, 0)))
+            cs = jnp.pad(cs, (0, pad))
+        g = sl.shape[0] // group
+        sk, handled = jax.lax.map(
+            lambda t: run(t[0], t[1]),
+            (sl.reshape(g, group, sl.shape[1]), cs.reshape(g, group)),
+        )
+        sk = jnp.take(sk.reshape(g * group, out_len)[:N], inv, axis=0)
+        handled = jnp.take(handled.reshape(-1)[:N], inv)
     produced = jnp.where(handled, out_len, 0)
     return sk, produced, ~handled & (csizes > 0)

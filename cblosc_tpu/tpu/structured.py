@@ -6,29 +6,32 @@ dynamic-offset window write, which costs ~14 ns/element on TPU — a hard
 workloads (every stream our encoder emits, and any conforming blosclz
 stream whose matches share one distance) with TPU-fast primitives only:
 
-  1. WALK — a parse-only while loop: one iteration per token, no byte
-     copies (~20x cheaper per iteration than decoding), producing
+  1. WALK — a parse-only loop over the batch: each iteration reads one
+     aligned window per row GATHER-FREE (masked full-array reductions —
+     XLA's vmapped dynamic-slice costs ~1-2 us per row per call, the
+     fused masked sums cost ~16-60 ns per row, see _select_rows) and
+     parses up to _T tokens from it with VPU lane arithmetic, producing
      fixed-shape token records (kind, src, dst, len) plus per-row
      uniform-distance and ok flags;
-  2. PLACE — literal bytes land via ONE ascending key sort per row:
-     compressed positions inside literal runs get key (dst<<8|byte)
-     (dst comes from a region fill: sparse scatter of record deltas +
-     cummax), match positions get synthesized (x<<8|0) entries, so the
-     sort emits the output skeleton directly;
-  3. FILL — for each candidate distance d, reshape the skeleton to
-     (n/d, d) residue columns and forward-fill match positions with a
-     keyed cummax: out[x] = out[x-d] applied transitively is exactly
-     "nearest non-match value above in the same residue column".
+  2. PLACE — one two-operand key sort per row over (residue(dst) << S |
+     dst): literal bytes from the compressed stream and synthesized
+     match-position entries land grouped by residue class mod the row's
+     match distance d, ordered by position within each class;
+  3. FILL — in residue-major order, out[x] = out[x-d] applied
+     transitively is exactly "the latest literal above in x's residue
+     column", which ONE keyed cummax resolves (the running maximum of
+     (sorted_index << 8 | byte) over literal entries — sorted_index is
+     globally monotone, and every column starts with a literal since a
+     match at x implies d <= x); a final single-operand sort by dst
+     restores output order.
 
-Rows the machine cannot handle (mixed distances, foreign geometry,
-record overflow, parse errors) fall back to the generic loop decoder;
-the two batches merge with a select. Everything stays on device and
-under one jit.
-
-Packing constraints: region-fill keys carry (position, flags, delta)
-in uint32 — one fill up to 16 KB splits, two parallel fills up to the
-32 KB splits the device blocksize policy tops out at; larger foreign
-splits use the fallback decoder.
+Unlike the round-1 per-candidate-distance residue fills, this machine
+handles ANY uniform distance < 8192 (not just the encoder's candidate
+set) and outputs up to 256 KB per split (reference-geometry blocksize
+table, blosc.c:996-1047), in O(sort) passes independent of the distance
+count. Rows it cannot handle (mixed distances, d >= 8192, record
+overflow, parse errors) fall back to the generic loop decoder; the two
+batches merge with a select. Everything stays on device under one jit.
 """
 
 from __future__ import annotations
@@ -42,12 +45,20 @@ from . import codec
 
 I32 = jnp.int32
 U8 = jnp.uint8
+BF16 = jnp.bfloat16
 
-MAX_OUT = 32768                 # key-packing limit (see module docstring)
+MAX_OUT = 1 << 18               # residue-sort key budget (see _place_keys)
+MAX_DIST = 8192                 # residue bits in the sort key
 
-# distances the FILL stage compiles residue-column scans for; rows whose
-# uniform distance is not in this set fall back to the loop decoder
-FILL_DISTANCES = codec.DISTANCES
+_T = 8                          # tokens parsed per window read
+_WINW = 512                     # window bytes (4 aligned 128-lane blocks)
+_WB = _WINW // 128
+_SUBW = 64                      # per-step parse subwindow (2 x 32 lanes)
+_MARGIN = 50                    # stop parsing a window this close to its end
+_KCH = 4                        # walk iterations per scan chunk
+
+_BIGU = jnp.uint32(0xFFFFFFFF)
+_BIGI = jnp.int32(0x7FFFFFFF)
 
 
 def max_records(out_len: int) -> int:
@@ -56,164 +67,353 @@ def max_records(out_len: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# WALK: parse-only token scan
+# WALK v2: batched multi-token parse with matmul window reads
 # ---------------------------------------------------------------------------
 
-_KCHUNK = 16                    # walk iterations per scan chunk
+def _select_rows(x3: jax.Array, idx: jax.Array, k: int) -> jax.Array:
+    """Rows idx..idx+k-1 of x3 (R, B, L) int32, per-row dynamic idx,
+    GATHER-FREE: one masked full-array reduction per selected row. XLA
+    fuses the k reductions into streaming passes (~16-60 ns/row measured
+    on v5e) — 20-50x cheaper than a vmapped dynamic_slice and ~15x
+    cheaper than the same contraction phrased as a batched one-hot
+    matmul, which XLA lowers to per-row kernels."""
+    b = jnp.arange(x3.shape[1], dtype=I32)[None, :, None]
+    i3 = idx[:, None, None]
+    return jnp.concatenate(
+        [jnp.sum(jnp.where(b == i3 + w, x3, 0), axis=1) for w in range(k)],
+        axis=1)
 
 
-def _walk_one(src: jax.Array, csize: jax.Array, out_len: int, maxrec: int):
-    """Parse one stream into records. Returns (recs (slots, 4) i32 as
-    [kind, src_off, dst_off, len] with kind == -1 marking empty slots,
-    dist, ok).
+def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
+                maxrec: int):
+    """Parse a batch of blosclz streams into records.
 
-    Record kinds: 0 = literal chunk (contiguous data), 1 = match,
-    2 = literal TRAIN (8 full 32-byte cells with interleaved control
-    bytes; the place stage strips the controls elementwise).
+    slots: uint8 (R, W) with W % 128 == 0 and W >= csize + _MARGIN,
+    rows zero past csize. Returns (recs (R, slots, 4) i32 as [kind,
+    src_off, dst_off, len] with kind == -1 marking empty slots, dist,
+    ok). Record kinds: 0 = literal chunk (contiguous bytes at src_off),
+    1 = match (src_off carries the distance).
 
-    One iteration consumes a literal (chunk or train) AND a following
-    match token — under vmap every branch executes anyway, so fusing the
-    phases halves the iteration count of interleaved streams for free.
-    The loop is a while over lax.scan chunks of _KCHUNK iterations:
-    records land in the scan's stacked outputs (static positions), so an
-    iteration costs exactly ONE dynamic op (the source window read) —
-    the chunk write amortizes to 1/_KCHUNK ops.
+    Each iteration reads ONE aligned 512-byte window per row via masked
+    reductions over the row's 128-lane blocks (gather-free) and parses
+    up to _T tokens from it; per-token byte extraction runs on a 64-lane
+    subwindow selected the same way. Wire grammar per
+    blosc/blosclz.c:679-789: first token is a literal copy; literal
+    token t < 32 copies t+1 bytes; match token encodes (len, dist) with
+    255-extension bytes and a far-distance escape.
     """
-    W = src.shape[0]
-    srci = src.astype(I32)
-    span = codec._FASTLIT * 33
-    nchunks = -(-maxrec // (2 * _KCHUNK))
-    recs0 = jnp.full((nchunks * 2 * _KCHUNK, 4), -1, I32)
+    R, W = slots.shape
+    B = W // 128
+    src3 = slots.reshape(R, B, 128).astype(I32)
+    srci = slots.astype(I32)
+    nchunks = -(-maxrec // (_T * _KCH))
+    recs0 = jnp.full((R, nchunks * _T * _KCH, 4), -1, I32)
     invalid = jnp.full((4,), -1, I32)
 
-    WINW = span + 16            # one window covers ctrls AND token parse
-    wwi = jnp.arange(WINW, dtype=I32)
+    wwi = jnp.arange(_WINW, dtype=I32)[None, :]
+    swi = jnp.arange(_SUBW, dtype=I32)[None, :]
 
     def inner(carry, _):
         ip, op, token, extacc, dist, err, fin = carry
-        active = ~(err | fin)
 
-        # ONE dynamic read per iteration: dynamic ops cost ~2us per row
-        # per CALL on TPU, so op count — not element count — is the
-        # currency here. The window starts at ip; everything this
-        # iteration needs lies within ip + span + 16.
-        winc = jnp.minimum(ip, jnp.maximum(W - WINW, 0))
-        win = jax.lax.dynamic_slice(srci, (winc,), (WINW,))
-        win = jnp.where(wwi + winc < csize, win, 0)   # zeros past stream
-        sh = ip - winc                                # 0 except near W end
+        # one aligned window per row, via masked full-array reductions
+        ipblk = jnp.clip(ip // 128, 0, B - _WB)
+        winc = ipblk * 128
+        win = _select_rows(src3, ipblk, _WB)
+        win = jnp.where(winc[:, None] + wwi < csizes[:, None], win, 0)
+        win16 = win.reshape(R, _WINW // 32, 32)
 
-        def _sel(off):
-            """win[off] via masked sum — no gather op."""
-            return jnp.sum(jnp.where(wwi == off, win, 0))
+        step_recs = []
+        for _t in range(_T):
+            q = ip - winc
+            act = ~(err | fin) & (q <= _WINW - _MARGIN)
 
-        # ---- phase A: literal chunk or 8-cell train -----------------------
-        is_lit = token < 32
-        llen = token + 1
-        ls_ip2 = ip + llen
-        fb = codec._FASTB
-        ctrls_ok = jnp.sum(jnp.where(
-            (wwi >= sh + 32) & (wwi < sh + 32 + (codec._FASTLIT - 1) * 33)
-            & ((wwi - sh - 32) % 33 == 0) & (win != 31), 1, 0)) == 0
-        fast = (is_lit & (token == 31) & (ip + span < csize)
-                & (op + fb <= out_len) & (sh == 0) & ctrls_ok)
-        slow = is_lit & ~fast
-        ip1 = jnp.where(fast, ip + span, jnp.where(slow, ls_ip2, ip))
-        op1 = jnp.where(fast, op + fb, jnp.where(slow, op + llen, op))
-        err1 = err | (slow & ((op + llen > out_len) | (ls_ip2 > csize)))
-        lit_fin = is_lit & (ip1 >= csize)
-        rec_lit = jnp.stack([
-            jnp.where(fast, 2, 0), ip,
-            op, jnp.where(fast, jnp.int32(span - 1), llen)])
+            # 64-byte subwindow holding everything one token can touch
+            qrow = q >> 5
+            sub = _select_rows(win16, qrow, 2)
+            sq = q - (qrow << 5)
 
-        # ---- phase B: match token parse ------------------------------------
-        tok1 = jnp.where(
-            fast, _sel(sh + span - 1),
-            jnp.where(slow & ~lit_fin, _sel(sh + llen), token))
-        ip1 = jnp.where(slow & ~lit_fin, ls_ip2 + 1, ip1)
-        base = ip1 - winc                             # parse offset in win
+            def sel(off):
+                """sub[row, off[row]] via masked sum — no gather op."""
+                return jnp.sum(jnp.where(swi == off[:, None], sub, 0),
+                               axis=1)
 
-        can_m = ~lit_fin & ~err1 & ~fin & (tok1 >= 32)
-        mbase = (tok1 >> 5) - 1
-        inw8 = (wwi >= base) & (wwi < base + 8)
-        lead = jnp.cumprod(
-            jnp.where(wwi < base, 1,
-                      (jnp.where(inw8, win, -1) == 255).astype(I32)))
-        kk = jnp.sum(jnp.where(wwi >= base, lead, 0))
-        has_ext = mbase == 6
-        ext_more = can_m & has_ext & (kk >= 8)
-        m_ok = can_m & ~ext_more
+            # ---- literal branch: token < 32 copies token+1 bytes ------
+            is_lit = token < 32
+            llen = token + 1
+            ip2 = ip + llen
+            op2 = op + llen
+            lit_err = (op2 > out_len) | (ip2 > csizes)
+            lit_fin = (ip2 >= csizes) & ~lit_err
+            tok_lit = sel(sq + llen)           # token after the literals
+            rec_lit = jnp.stack([jnp.zeros_like(ip), ip, op, llen], axis=1)
 
-        lastb = _sel(base + jnp.minimum(kk, 7))
-        mlen = jnp.where(has_ext, 6 + extacc + 255 * kk + lastb, mbase) + 3
-        eoff = jnp.where(has_ext, kk + 1, 0)          # bytes of ext consumed
-        dhi = tok1 & 31
-        dlo = _sel(base + eoff)
-        far = (dlo == 255) & (dhi == 31)
-        b1 = _sel(base + eoff + 1)
-        b2 = _sel(base + eoff + 2)
-        bk = jnp.where(far, (b1 << 8) + b2 + 8192, (dhi << 8) + dlo + 1)
-        nexto = base + eoff + 1 + jnp.where(far, 2, 0)
-        ip4 = ip1 + eoff + 1 + jnp.where(far, 2, 0)   # next-token position
-        d2 = jnp.where(dist == 0, bk, dist)
-        err2 = err1 | (m_ok & (
-            (bk > op1) | (op1 + mlen > out_len) | (ip4 >= csize)
-            | (bk != d2)                      # mixed distances: bail out
-            | (nexto >= WINW)                 # parse ran past the window
-        )) | (ext_more & (ip1 + 8 >= csize))
-        rec_m = jnp.stack([jnp.int32(1), bk, op1, mlen])
+            # ---- match branch: token >= 32 --------------------------------
+            mbase = (token >> 5) - 1
+            has_ext = (token >> 5) == 7
+            inm = (swi >= sq[:, None]) & (swi < sq[:, None] + 8)
+            lead = jnp.cumprod(
+                jnp.where(swi < sq[:, None], 1,
+                          (jnp.where(inm, sub, -1) == 255).astype(I32)),
+                axis=1)
+            kk = jnp.sum(jnp.where(swi >= sq[:, None], lead, 0), axis=1)
+            ext_more = has_ext & (kk >= 8)
+            lastb = sel(sq + jnp.minimum(kk, 7))
+            mlen = jnp.where(has_ext, 6 + extacc + 255 * kk + lastb,
+                             mbase) + 3
+            eoff = jnp.where(has_ext, kk + 1, 0)
+            dhi = token & 31
+            dlo = sel(sq + eoff)
+            far = (dlo == 255) & (dhi == 31)
+            b1 = sel(sq + eoff + 1)
+            b2 = sel(sq + eoff + 2)
+            bk = jnp.where(far, (b1 << 8) + b2 + 8192, (dhi << 8) + dlo + 1)
+            ip4 = ip + eoff + 1 + jnp.where(far, 2, 0)  # next-token pos
+            d2 = jnp.where(dist == 0, bk, dist)
+            m_ok = ~is_lit & ~ext_more
+            m_err = m_ok & (
+                (bk > op) | (op + mlen > out_len) | (ip4 >= csizes)
+                | (bk != d2)                  # mixed distances: bail out
+            )
+            ext_err = ext_more & (ip + 8 >= csizes)
+            tok_m = sel(sq + eoff + 1 + jnp.where(far, 2, 0))
+            rec_m = jnp.stack(
+                [jnp.ones_like(ip), bk, op, mlen], axis=1)
 
-        op2 = jnp.where(m_ok, op1 + mlen, op1)
-        ip5 = jnp.where(ext_more, ip1 + 8,
-                        jnp.where(m_ok, ip4 + 1, ip1))
-        tok2 = jnp.where(m_ok, _sel(nexto), tok1)
-        extacc2 = jnp.where(ext_more, extacc + 8 * 255,
-                            jnp.where(m_ok, 0, extacc))
-        dist2 = jnp.where(m_ok, d2, dist)
+            # ---- merge + state advance ------------------------------------
+            err_t = jnp.where(is_lit, lit_err, m_err | ext_err)
+            good = act & ~err_t
+            valid = good & (is_lit | m_ok)
+            rec = jnp.where(is_lit[:, None], rec_lit, rec_m)
+            step_recs.append(jnp.where(valid[:, None], rec, invalid[None, :]))
 
-        # ---- emit 0-2 records into this iteration's static slots -----------
-        valid0 = active & (is_lit | m_ok)
-        valid1 = active & is_lit & m_ok
-        row0 = jnp.where(is_lit, rec_lit, rec_m)
-        rows = jnp.stack([jnp.where(valid0, row0, invalid),
-                          jnp.where(valid1, rec_m, invalid)])
-        # freeze finished/erred rows (scan runs all _KCHUNK steps)
-        new = (ip5, op2, tok2, extacc2, dist2, err2, fin | lit_fin)
-        old = (ip, op, token, extacc, dist, err, fin)
-        carry = tuple(jnp.where(active, n, o) for n, o in zip(new, old))
-        return carry, rows
+            ip_n = jnp.where(
+                is_lit,
+                jnp.where(lit_fin, ip2, ip2 + 1),
+                jnp.where(ext_more, ip + 8, ip4 + 1))
+            op_n = jnp.where(is_lit, op2, jnp.where(m_ok, op + mlen, op))
+            tok_n = jnp.where(is_lit, tok_lit,
+                              jnp.where(ext_more, token, tok_m))
+            ext_n = jnp.where(
+                is_lit, extacc,
+                jnp.where(ext_more, extacc + 8 * 255, 0))
+            dist_n = jnp.where(m_ok & ~err_t, d2, dist)
+            fin_t = is_lit & lit_fin
+
+            upd = (ip_n, op_n, tok_n, ext_n, dist_n)
+            old = (ip, op, token, extacc, dist)
+            ip, op, token, extacc, dist = (
+                jnp.where(good, n, o) for n, o in zip(upd, old))
+            err = err | (act & err_t)
+            fin = fin | (good & fin_t)
+
+        rows = jnp.stack(step_recs, axis=1)      # (R, _T, 4)
+        return (ip, op, token, extacc, dist, err, fin), rows
 
     def cond(st):
         recs, kslot, carry = st[0], st[1], st[2:]
-        return ~(carry[5] | carry[6]) & (kslot < nchunks)
+        return jnp.any(~(carry[5] | carry[6])) & (kslot < nchunks)
 
     def body(st):
         recs, kslot = st[0], st[1]
-        carry, rows = jax.lax.scan(inner, st[2:], None, length=_KCHUNK)
+        carry, rows = jax.lax.scan(inner, st[2:], None, length=_KCH)
+        rows = jnp.moveaxis(rows, 0, 1).reshape(R, _KCH * _T, 4)
         recs = jax.lax.dynamic_update_slice(
-            recs, rows.reshape(2 * _KCHUNK, 4), (kslot * 2 * _KCHUNK, 0))
+            recs, rows, (0, kslot * _KCH * _T, 0))
         return (recs, kslot + 1) + carry
 
+    zero = jnp.zeros((R,), I32)
     st = jax.lax.while_loop(
         cond, body,
-        (recs0, jnp.int32(0), jnp.int32(1), jnp.int32(0), srci[0] & 31,
-         jnp.int32(0), jnp.int32(0), csize <= 0, csize <= 1),
+        (recs0, jnp.int32(0),
+         zero + 1, zero, srci[:, 0] & 31, zero, zero,
+         csizes <= 0, csizes <= 1),
     )
-    recs, kslot = st[0], st[1]
+    recs = st[0]
     ip, op, token, extacc, dist, err, fin = st[2:]
     err = err | ~(err | fin)            # ran out of chunks: unhandled
     ok = ~err & (op == out_len)
     return recs, dist, ok
 
 
+# ---------------------------------------------------------------------------
+# PLACE + FILL v2: residue-keyed sorts
+# ---------------------------------------------------------------------------
+
+def _segment_fill(n_cols: int, starts, keys, N: int):
+    """Sparse scatter of `keys` at `starts` (both (N, R), invalid entries
+    must carry start == n_cols) into (N, n_cols), then a cummax forward
+    fill. Keys must embed the position in their high bits so cummax
+    holds the latest marker."""
+    base = (jnp.arange(N, dtype=I32) * n_cols)[:, None]
+    gi = jnp.where(starts < n_cols, base + starts, N * n_cols).reshape(-1)
+    flat = jnp.zeros((N * n_cols,), jnp.uint32).at[gi].set(
+        keys.reshape(-1).astype(jnp.uint32), mode="drop")
+    return jax.lax.cummax(flat.reshape(N, n_cols), axis=1)
+
+
+def _lit_geometry(slots, csizes, recs, valid, out_len: int):
+    """Per compressed position p: (in_lit, dst_p) — is p a literal byte,
+    and which output position does it land at. One or two segment fills
+    depending on the position/delta bit budget."""
+    N, Wc = slots.shape
+    kind = recs[..., 0]
+    srco = recs[..., 1]
+    dsto = recs[..., 2]
+    ln = recs[..., 3]
+    lit = valid & (kind == 0)
+    rdelta = (dsto - srco + out_len).astype(jnp.uint32)  # in [1, 2*out_len)
+    u_src = srco.astype(jnp.uint32)
+    u_end = (srco + ln).astype(jnp.uint32)
+    starts = jnp.concatenate(
+        [jnp.where(lit, srco, Wc), jnp.where(lit, srco + ln, Wc)], axis=1)
+    p = jnp.arange(Wc, dtype=I32)[None, :]
+    if out_len <= 16384 and Wc < (1 << 15):
+        # one fill: pos(15) << 17 | lit(1) << 16 | delta(16)
+        k_start = (u_src << 17) | jnp.uint32(1 << 16) | rdelta
+        k_end = u_end << 17                              # gap marker
+        keys = jnp.concatenate([jnp.where(lit, k_start, 0),
+                                jnp.where(lit, k_end, 0)], axis=1)
+        cfill = _segment_fill(Wc, starts, keys, N)
+        in_lit = ((cfill >> 16) & 1) == 1
+        delta = (cfill & 0xFFFF).astype(I32)
+    else:
+        # two fills: A = pos(19) << 13 | delta_lo(13);
+        #            B = pos(19) << 13 | delta_hi(6) << 1 | lit(1)
+        # (every caller's slot width stays < 2^19 for out_len <= 2^18)
+        ka = (u_src << 13) | (rdelta & 0x1FFF)
+        kb = (u_src << 13) | (((rdelta >> 13) & 0x3F) << 1) | jnp.uint32(1)
+        keys_a = jnp.concatenate([jnp.where(lit, ka, 0),
+                                  jnp.where(lit, u_end << 13, 0)], axis=1)
+        keys_b = jnp.concatenate([jnp.where(lit, kb, 0),
+                                  jnp.where(lit, u_end << 13, 0)], axis=1)
+        fa = _segment_fill(Wc, starts, keys_a, N)
+        fb = _segment_fill(Wc, starts, keys_b, N)
+        in_lit = (fb & 1) == 1
+        delta = ((fa & 0x1FFF) | (((fb >> 1) & 0x3F) << 13)).astype(I32)
+    dst_p = p + delta - out_len
+    return in_lit, dst_p
+
+
+def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
+    """Batched skeleton construction + residue-column forward fill.
+    rec_valid: (N, R) bool mask of live record slots. Returns (out,
+    handled)."""
+    N, Wc = slots.shape
+    valid = rec_valid & ok[:, None]
+    kind = recs[..., 0]
+    dsto = recs[..., 2]
+
+    in_lit, dst_p = _lit_geometry(slots, csizes, recs, valid, out_len)
+
+    # --- output-space fill: match mask ------------------------------------
+    mstarts = jnp.where(valid, dsto, out_len)
+    mkeys = jnp.where(valid, (dsto << 1) | (kind == 1), 0)
+    ofill = _segment_fill(out_len, mstarts, mkeys, N)
+    is_match = (ofill & 1) == 1
+
+    # --- residue-keyed sort ------------------------------------------------
+    # key = residue(dst) << S | dst with S = ceil(log2(out_len)); residue
+    # < min(d, MAX_DIST) and dst < out_len <= 2^18 keep it inside int32.
+    S = max((out_len - 1).bit_length(), 1)
+    d = jnp.maximum(dist, 1)[:, None]
+    e1_dst = dst_p
+    e1_ok = in_lit & (jnp.arange(Wc, dtype=I32)[None, :] < csizes[:, None])
+    x = jnp.arange(out_len, dtype=I32)[None, :]
+    if 2 * S + 9 <= 31:
+        # narrow splits: lit flag + byte ride inside ONE sort operand
+        # (res << S+9 | dst << 9 | lit << 8 | byte)
+        e1_key = jnp.where(
+            e1_ok,
+            ((e1_dst % d) << (S + 9)) | (e1_dst << 9) | 256
+            | slots.astype(I32), _BIGI)
+        e2_key = jnp.where(is_match, ((x % d) << (S + 9)) | (x << 9), _BIGI)
+        skeys = jax.lax.sort(jnp.concatenate([e1_key, e2_key], axis=1),
+                             dimension=1)[:, :out_len]
+        svals = skeys & 0x1FF
+        skeys = (skeys >> 9) & ((1 << S) - 1)
+    else:
+        e1_key = jnp.where(e1_ok, ((e1_dst % d) << S) | e1_dst, _BIGI)
+        e1_val = jnp.where(e1_ok, 256 | slots.astype(I32), 0)
+        e2_key = jnp.where(is_match, ((x % d) << S) | x, _BIGI)
+        e2_val = jnp.zeros_like(e2_key)
+        keys = jnp.concatenate([e1_key, e2_key], axis=1)
+        vals = jnp.concatenate([e1_val, e2_val], axis=1)
+        skeys, svals = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
+        skeys = skeys[:, :out_len] & ((1 << S) - 1)
+        svals = svals[:, :out_len]
+
+    # --- fill: latest-literal-above within the residue column -------------
+    # sorted index is globally monotone, so the running max of
+    # (idx << 8 | byte) over literal entries is always this column's
+    # nearest literal (every column leads with one: a match at x needs
+    # d <= x, so x == residue is never a match position).
+    sidx = jnp.arange(skeys.shape[1], dtype=I32)[None, :]
+    is_lit_s = (svals & 256) != 0
+    f = jax.lax.cummax(jnp.where(is_lit_s, (sidx << 8) | (svals & 0xFF), 0),
+                       axis=1)
+    byte_s = jnp.where(is_lit_s, svals & 0xFF, f & 0xFF)
+
+    # --- restore output order: one single-operand sort --------------------
+    okey = (skeys << 8) | byte_s
+    out = (jax.lax.sort(okey, dimension=1) & 0xFF).astype(U8)
+
+    handled = ok & (dist < MAX_DIST)
+    return out, handled
+
+
+# ---------------------------------------------------------------------------
+# Splat fast path: closed-form construction for distance<=1 rows
+# ---------------------------------------------------------------------------
+
+_PREFIX = 128       # splat rows carry their whole stream in this prefix
+
+
+def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
+    """Closed-form output for rows whose stream fits in _PREFIX bytes and
+    whose matches are all distance 1 (or absent): out[x] = the latest
+    literal byte at or above x, i.e. one sparse scatter of the <= 64
+    literal bytes keyed (dst << 8 | byte) plus one cummax — no sorts.
+    This is the dominant shape for shuffled typed data (constant and
+    low-entropy byte planes collapse to one literal + one d=1 run)."""
+    N = slots.shape[0]
+    pre = slots[:, :_PREFIX]
+    # a row with csize <= _PREFIX has < _PREFIX//2 records (each consumes
+    # >= 2 compressed bytes), so the record slice below is lossless
+    r = recs[:, : _PREFIX // 2]
+    rv = rec_valid[:, : _PREFIX // 2] & handled[:, None]
+    in_lit, dst_p = _lit_geometry(pre, csizes, r, rv, out_len)
+    p = jnp.arange(_PREFIX, dtype=I32)[None, :]
+    live = in_lit & (p < csizes[:, None])
+    key = jnp.where(live, (dst_p << 8) | pre.astype(I32), 0)
+    base = (jnp.arange(N, dtype=I32) * out_len)[:, None]
+    gi = jnp.where(live, base + dst_p, N * out_len).reshape(-1)
+    flat = jnp.zeros((N * out_len,), I32).at[gi].set(
+        key.reshape(-1), mode="drop")
+    f = jax.lax.cummax(flat.reshape(N, out_len), axis=1)
+    return (f & 0xFF).astype(U8), handled
+
+
+# ---------------------------------------------------------------------------
+# Grouped driver
+# ---------------------------------------------------------------------------
+
+_GROUP_BYTES = 24 << 20     # sort workspace budget per row group
+
+
+def _group_rows(out_len: int) -> int:
+    g = max(_GROUP_BYTES // (out_len * 9), 8)
+    g = 1 << (g.bit_length() - 1)       # floor to a power of two
+    return max(8, min(g, 1024))
+
+
 def grouped_walk(walk, slots, csizes, out_len: int, maxrec: int,
                  group: int = 1024):
-    """vmap `walk` over rows SORTED BY CSIZE in lax.map groups.
+    """vmap a per-row `walk` over rows SORTED BY CSIZE in lax.map groups.
 
-    A vmapped while_loop runs every row for the batch maximum iteration
-    count — idle rows still pay the per-iteration dynamic-op cost. Sorting
-    rows by csize (a proxy for token count; row permutation is a cheap
-    row-granular gather, ~100 GB/s) clusters similar rows so each group's
-    loop exits at its own pace; stored-raw rows (csize 0) cost nothing.
+    (Used by the LZ4 walk; the blosclz walk is natively batched.) Sorting
+    rows by csize clusters similar rows so each group's loop exits at its
+    own pace; stored-raw rows (csize 0) cost nothing.
     """
     N = slots.shape[0]
 
@@ -243,119 +443,6 @@ def grouped_walk(walk, slots, csizes, out_len: int, maxrec: int,
     )
 
 
-# ---------------------------------------------------------------------------
-# PLACE + FILL
-# ---------------------------------------------------------------------------
-
-def _segment_fill(n_cols: int, starts, keys, N: int):
-    """Sparse scatter of `keys` at `starts` (both (N, R), invalid entries
-    must carry start == n_cols) into (N, n_cols), then a cummax forward
-    fill. Keys must embed the position in their high bits so cummax
-    holds the latest marker. Keys are uint32 (the 15-bit position +
-    flag + 16-bit payload layout uses the sign bit)."""
-    base = (jnp.arange(N, dtype=I32) * n_cols)[:, None]
-    gi = jnp.where(starts < n_cols, base + starts, N * n_cols).reshape(-1)
-    flat = jnp.zeros((N * n_cols,), jnp.uint32).at[gi].set(
-        keys.reshape(-1).astype(jnp.uint32), mode="drop")
-    return jax.lax.cummax(flat.reshape(N, n_cols), axis=1)
-
-
-def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
-    """Batched skeleton construction + per-distance forward fills.
-    rec_valid: (N, R) bool mask of live record slots."""
-    N, Wc = slots.shape
-    kind = recs[..., 0]
-    srco = recs[..., 1]
-    dsto = recs[..., 2]
-    ln = recs[..., 3]
-    valid = rec_valid & ok[:, None]
-
-    # --- compressed-space fill: dst delta for literal-run bytes -----------
-    lit = valid & (kind != 1)
-    train = (kind == 2).astype(jnp.uint32)
-    rdelta = (dsto - srco + out_len).astype(jnp.uint32)  # in [1, 2*out_len)
-    u_src = srco.astype(jnp.uint32)
-    u_end = (srco + ln).astype(jnp.uint32)
-    starts = jnp.concatenate(
-        [jnp.where(lit, srco, Wc), jnp.where(lit, srco + ln, Wc)], axis=1)
-    p = jnp.arange(Wc, dtype=I32)[None, :]
-    if out_len <= 16384:
-        # one fill: pos(15) << 17 | lit(1) << 16 | train(1) << 15 | delta(15)
-        k_start = (u_src << 17) | jnp.uint32(1 << 16) | (train << 15) | rdelta
-        k_end = u_end << 17                              # gap marker
-        keys = jnp.concatenate([jnp.where(lit, k_start, 0),
-                                jnp.where(lit, k_end, 0)], axis=1)
-        cfill = _segment_fill(Wc, starts, keys, N)
-        in_lit = ((cfill >> 16) & 1) == 1
-        is_train = ((cfill >> 15) & 1) == 1
-        src0 = (cfill >> 17).astype(I32)
-        delta = (cfill & 0x7FFF).astype(I32)
-    else:
-        # two fills: A = pos(16) << 16 | delta(16);
-        #            B = pos(16) << 16 | lit(1) << 1 | train(1)
-        ka = (u_src << 16) | rdelta
-        kb = (u_src << 16) | jnp.uint32(2) | train
-        ka_end = u_end << 16
-        keys_a = jnp.concatenate([jnp.where(lit, ka, 0),
-                                  jnp.where(lit, ka_end, 0)], axis=1)
-        keys_b = jnp.concatenate([jnp.where(lit, kb, 0),
-                                  jnp.where(lit, u_end << 16, 0)], axis=1)
-        fa = _segment_fill(Wc, starts, keys_a, N)
-        fb = _segment_fill(Wc, starts, keys_b, N)
-        in_lit = ((fb >> 1) & 1) == 1
-        is_train = (fb & 1) == 1
-        src0 = (fb >> 16).astype(I32)
-        delta = (fa & 0xFFFF).astype(I32)
-    toff = p - src0                                      # offset in train
-    # trains interleave a control byte after every 32 data bytes
-    in_lit &= ~(is_train & (toff % 33 == 32))
-    dst_p = (p + delta - out_len
-             - jnp.where(is_train, toff // 33, 0))
-    e1 = jnp.where(in_lit & (p < csizes[:, None]),
-                   (dst_p << 8) | slots.astype(I32), codec._BIG)
-
-    # --- output-space fill: match mask ------------------------------------
-    mstarts = jnp.where(valid, dsto, out_len)
-    mkeys = jnp.where(valid, (dsto << 1) | (kind == 1), 0)
-    ofill = _segment_fill(out_len, mstarts, mkeys, N)
-    is_match = (ofill & 1) == 1
-    x = jnp.arange(out_len, dtype=I32)[None, :]
-    e2 = jnp.where(is_match, x << 8, codec._BIG)
-
-    # --- skeleton via one ascending sort ----------------------------------
-    skel = jax.lax.sort(jnp.concatenate([e1, e2], axis=1), dimension=1)
-    skel = (skel[:, :out_len] & 0xFF).astype(U8)
-
-    # --- residue-column forward fills, one per candidate distance ---------
-    # NOTE: the optimization_barrier below is load-bearing. XLA TPU
-    # miscompiles the fused place->fill program (a dd-fill silently
-    # yields zeros for rows of that distance; v5e, jax 0.9 / libtpu
-    # 2026-08; correct on CPU, correct when stages compile separately,
-    # and Heisenbergs away when intermediates become outputs). The
-    # barrier before each cummax pins the fill's input and dodges the
-    # bad fusion. For the same reason the fills are NOT gated behind
-    # lax.cond (conditionals showed the same corruption).
-    out = skel
-    for dd in FILL_DISTANCES:
-        if dd >= out_len:
-            continue
-        m = -(-out_len // dd) * dd
-        pad = m - out_len
-        sk = jnp.pad(skel, ((0, 0), (0, pad))).reshape(N, m // dd, dd)
-        im = jnp.pad(is_match, ((0, 0), (0, pad))).reshape(N, m // dd, dd)
-        rows1 = jnp.arange(m // dd, dtype=I32)[None, :, None]
-        key = jnp.where(~im, ((rows1 + 1) << 8) | sk.astype(I32), 0)
-        key = jax.lax.optimization_barrier(key)   # load-bearing, see above
-        filled = (jax.lax.cummax(key, axis=1) & 0xFF).astype(U8)
-        cand = jnp.where(im, filled, sk).reshape(N, m)[:, :out_len]
-        out = jnp.where((dist == dd)[:, None], cand, out)
-
-    handled = ok & (
-        (dist == 0) | jnp.isin(dist, jnp.asarray(FILL_DISTANCES, I32))
-    )
-    return out, handled
-
-
 @partial(jax.jit, static_argnums=2)
 def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     """Drop-in for codec.decode with the structured fast path.
@@ -366,14 +453,48 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     """
     if out_len > MAX_OUT or out_len < 8:
         return codec.decode(slots, csizes, out_len)
-    N = slots.shape[0]
-    minw = codec._FASTLIT * 33 + 24          # the walk's window width
-    if slots.shape[1] < minw:
-        slots = jnp.pad(slots, ((0, 0), (0, minw - slots.shape[1])))
+    N, W = slots.shape
+    # walk windows need aligned blocks and parse margin past the stream
+    Wpad = max(-(-(W + _MARGIN) // 128) * 128, _WINW)
+    slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
     maxrec = max_records(out_len)
-    recs, dist, ok = grouped_walk(_walk_one, slots, csizes, out_len, maxrec)
-    sk, handled = _place_and_fill(
-        slots, csizes, recs, recs[..., 0] >= 0, dist, ok, out_len)
+
+    group = _group_rows(out_len)
+
+    def run(sl, cs):
+        recs, dist, okf = _walk_batch(sl, cs, out_len, maxrec)
+        valid = recs[..., 0] >= 0
+        splat = okf & (dist <= 1) & (cs <= _PREFIX)
+        # group-level scalar predicate: rows arrive csize-sorted, so
+        # whole groups of trivial rows take the sort-free branch (a
+        # scalar lax.cond compiles to a real one-sided conditional)
+        fast = jnp.all(splat | (cs <= 0))
+        return jax.lax.cond(
+            fast,
+            lambda _: _splat_place(sl, cs, recs, valid, splat, out_len),
+            lambda _: _place_and_fill(
+                sl[:, :W], cs, recs, valid, dist, okf, out_len),
+            None)
+
+    if N <= group:
+        sk, handled = run(slots_w, csizes)
+    else:
+        order = jnp.argsort(csizes)
+        inv = jnp.argsort(order)
+        sl = jnp.take(slots_w, order, axis=0)
+        cs = jnp.take(csizes, order)
+        pad = (-N) % group
+        if pad:
+            sl = jnp.pad(sl, ((0, pad), (0, 0)))
+            cs = jnp.pad(cs, (0, pad))
+        g = sl.shape[0] // group
+        sk, handled = jax.lax.map(
+            lambda t: run(t[0], t[1]),
+            (sl.reshape(g, group, sl.shape[1]), cs.reshape(g, group)),
+        )
+        sk = jnp.take(sk.reshape(g * group, out_len)[:N], inv, axis=0)
+        handled = jnp.take(handled.reshape(-1)[:N], inv)
+
     # fallback rows (csize of handled rows masked to 0 => loop skips them)
     fb_cs = jnp.where(handled, 0, csizes)
     fb_out, fb_prod, fb_err = codec.decode(slots, fb_cs, out_len)

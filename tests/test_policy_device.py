@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cblosc_tpu.core import policy
@@ -43,11 +44,20 @@ def test_grouped_walk_matches_plain_vmap(rng):
     slots, csizes, _ = codec.encode(jnp.asarray(S))
     maxrec = structured.max_records(n)
 
-    plain = structured.grouped_walk(
-        structured._walk_one, slots, csizes, n, maxrec, group=1 << 30)
-    grouped = structured.grouped_walk(
-        structured._walk_one, slots, csizes, n, maxrec, group=4)
-    # identical records (slot layout may differ per group only in trailing
-    # empties), distances and ok flags
+    W = slots.shape[1]
+    Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
+    sl = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
+    plain = structured._walk_batch(sl, csizes, n, maxrec)
+    # csize-sorted 4-row groups (what decode() does for large batches)
+    order = jnp.argsort(csizes)
+    inv = np.asarray(jnp.argsort(order))
+    gr = jax.lax.map(
+        lambda t: structured._walk_batch(t[0], t[1], n, maxrec),
+        (jnp.take(sl, order, axis=0).reshape(3, 4, -1),
+         jnp.take(csizes, order).reshape(3, 4)),
+    )
+    grouped = jax.tree.map(
+        lambda a: jnp.take(a.reshape(12, *a.shape[2:]), inv, axis=0), gr)
+    # identical records, distances and ok flags
     for a, b in zip(plain, grouped):
         assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -80,9 +80,121 @@ def test_structured_bad_stream_errors():
 
 
 def test_structured_large_blocks_fall_back(rng):
-    n = 32768   # beyond MAX_OUT: must route everything through the loop
+    n = structured.MAX_OUT * 2   # beyond MAX_OUT: routes through the loop
     S = np.zeros((2, n), np.uint8)
     slots, csizes = _encode_batch(S)
     out, produced, err = structured.decode(slots, csizes, n)
     assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out), S)
+
+
+# ---------------------------------------------------------------------------
+# Hand-built conforming streams: arbitrary distances and big splits
+# ---------------------------------------------------------------------------
+
+def _lz_stream(pieces):
+    """Serialize (\"lit\", bytes) / (\"match\", mlen, dist) pieces into a
+    conforming blosclz token stream (wire grammar blosc/blosclz.c:679-789)."""
+    out = bytearray()
+    for kind, *args in pieces:
+        if kind == "lit":
+            data = args[0]
+            i = 0
+            while i < len(data):
+                c = min(32, len(data) - i)
+                out.append(c - 1)
+                out += bytes(data[i:i + c])
+                i += c
+        else:
+            mlen, d = args
+            v = mlen - 3
+            assert v >= 0
+            if d <= 8191:
+                dm1 = d - 1
+                dhi, dlo, far = dm1 >> 8, dm1 & 255, None
+            else:
+                fd = d - 8192
+                dhi, dlo, far = 31, 255, (fd >> 8, fd & 255)
+            if v < 6:
+                out.append(((v + 1) << 5) | dhi)
+            else:
+                out.append((7 << 5) | dhi)
+                rem = v - 6
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+            out.append(dlo)
+            if far is not None:
+                out += bytes(far)
+    return bytes(out)
+
+
+def _decode_rows(rows, n):
+    W = max(len(r) for r in rows) + 80
+    buf = np.zeros((len(rows), W), np.uint8)
+    cs = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        buf[i, :len(r)] = np.frombuffer(r, np.uint8)
+        cs[i] = len(r)
+    return structured.decode(jnp.asarray(buf), jnp.asarray(cs), n)
+
+
+@pytest.mark.parametrize("d", [5, 7, 100, 1000, 8191])
+def test_structured_arbitrary_uniform_distance(rng, d):
+    """The residue-keyed fill handles ANY uniform distance < 8192, not
+    just the encoder's candidate set."""
+    n = 16384
+    pat = rng.integers(0, 256, d, dtype=np.uint8)
+    stream = _lz_stream([
+        ("lit", pat.tobytes()),
+        ("match", n - d - 8, d),
+        ("lit", bytes(rng.integers(0, 256, 8, dtype=np.uint8))),
+    ])
+    want = np.frombuffer(lzhost.decompress(stream, n), np.uint8)
+    out, produced, err = _decode_rows([stream], n)
+    assert not bool(np.asarray(err)[0])
+    assert int(np.asarray(produced)[0]) == n
+    assert np.array_equal(np.asarray(out)[0], want)
+    # and the structured machine itself handled it (no loop fallback)
+    W = len(stream) + 80
+    Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
+    buf = np.zeros((1, Wpad), np.uint8)
+    buf[0, :len(stream)] = np.frombuffer(stream, np.uint8)
+    recs, dist, okf = structured._walk_batch(
+        jnp.asarray(buf), jnp.asarray([len(stream)]), n,
+        structured.max_records(n))
+    assert bool(np.asarray(okf)[0]) and int(np.asarray(dist)[0]) == d
+
+
+def test_structured_far_distance_falls_back(rng):
+    """d >= 8192 exceeds the residue key budget: the loop decoder must
+    take over and still produce exact bytes."""
+    n = 16384
+    d = 9000
+    pat = rng.integers(0, 256, d, dtype=np.uint8)
+    stream = _lz_stream([
+        ("lit", pat.tobytes()),
+        ("match", n - d - 8, d),
+        ("lit", bytes(rng.integers(0, 256, 8, dtype=np.uint8))),
+    ])
+    want = np.frombuffer(lzhost.decompress(stream, n), np.uint8)
+    out, produced, err = _decode_rows([stream], n)
+    assert not bool(np.asarray(err)[0])
+    assert np.array_equal(np.asarray(out)[0], want)
+
+
+def test_structured_256k_split(rng):
+    """Reference-geometry 256 KB splits (blocksize table blosc.c:996-1047)
+    decode on the structured path."""
+    n = structured.MAX_OUT
+    S = np.stack([
+        (np.arange(n) // 1024).astype(np.uint8),      # long runs
+        np.tile(np.arange(256, dtype=np.uint8), n // 256),   # d=256 ramp
+    ])
+    slots, csizes = _encode_batch(S)
+    assert int(np.asarray(csizes).max()) < n
+    out, produced, err = structured.decode(slots, csizes, n)
+    assert not np.asarray(err).any()
+    assert (np.asarray(produced) == n).all()
     assert np.array_equal(np.asarray(out), S)
