@@ -27,7 +27,8 @@ _lock = threading.RLock()  # the reference's global_comp_mutex analog
 _lib = None
 _build_failed = False
 
-_SOURCES = ["filters.cc", "blosclz.cc", "lz4.cc", "engine.cc"]
+_SOURCES = ["filters.cc", "blosclz.cc", "lz4.cc", "codecs_ext.cc",
+            "engine.cc"]
 
 
 def _newer_than_lib(path: str) -> bool:
@@ -47,6 +48,13 @@ def _build() -> bool:
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
         "-pthread", "-Wall", "-o", _LIB, *srcs,
     ]
+    # zlib: link the system library (the same one CPython's zlib module
+    # uses, so chunk bytes match the numpy engine); zstd resolves at
+    # runtime via dlopen (see codecs_ext.cc), needing only -ldl.
+    if os.path.exists("/usr/include/zlib.h"):
+        cmd += ["-DCBT_HAVE_ZLIB", "-lz"]
+    if os.name == "posix":
+        cmd += ["-DCBT_HAVE_DLOPEN", "-ldl"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired):
@@ -70,6 +78,26 @@ def _load():
         if not _build():
             _build_failed = True
             return None
+        # Point the engine's dlopen'd zstd at the exact library the numpy
+        # engine uses (the zstandard wheel bundles its own libzstd and
+        # exports the simple API) so both engines emit identical bytes.
+        if "CBLOSC_TPU_ZSTD_LIB" not in os.environ:
+            try:
+                import zstandard as _zstd_mod
+
+                cand = os.path.join(
+                    os.path.dirname(_zstd_mod.__file__),
+                    "_cffi.cpython-312-x86_64-linux-gnu.so")
+                if not os.path.exists(cand):
+                    import glob as _glob
+
+                    hits = _glob.glob(os.path.join(
+                        os.path.dirname(_zstd_mod.__file__), "_cffi*.so"))
+                    cand = hits[0] if hits else ""
+                if cand:
+                    os.environ["CBLOSC_TPU_ZSTD_LIB"] = cand
+            except Exception:
+                pass
         lib = ctypes.CDLL(_LIB)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64 = ctypes.c_int64
@@ -109,7 +137,7 @@ def available() -> bool:
     return _load() is not None
 
 
-_NATIVE_CODECS = {C.BLOSCLZ, C.LZ4, C.LZ4HC}
+_NATIVE_CODECS = {C.BLOSCLZ, C.LZ4, C.LZ4HC, C.SNAPPY, C.ZLIB, C.ZSTD}
 
 
 def _u8(buf) -> np.ndarray:
@@ -152,7 +180,7 @@ def decompress_chunk(chunk: bytes, destsize: int | None, nthreads: int) -> bytes
     validate_header(hdr, destsize)  # python-side validation for rich errors
     if hdr.nbytes == 0:
         return b""
-    if not hdr.memcpyed and hdr.compcode not in (C.BLOSCLZ, C.LZ4, C.LZ4HC):
+    if not hdr.memcpyed and hdr.compcode not in _NATIVE_CODECS:
         return None
     src = _u8(chunk)
     dest = np.empty(hdr.nbytes, dtype=np.uint8)

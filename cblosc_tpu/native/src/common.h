@@ -89,4 +89,34 @@ int lz4hc_encode(const uint8_t* src, int len, uint8_t* dst, int maxout,
                  int clevel);
 int lz4_decode(const uint8_t* src, int len, uint8_t* dst, int maxout);
 
+// External-format codecs (codecs_ext.cc): zlib/zstd wrappers + a fresh
+// snappy raw-format implementation. Encoders return the compressed size,
+// 0 on does-not-fit, or -2 when the library is unavailable.
+bool zlib_available();
+int zlib_encode(int clevel, const uint8_t* src, int n, uint8_t* dst,
+                int maxout);
+int zlib_decode(const uint8_t* src, int len, uint8_t* dst, int maxout);
+bool zstd_available();
+int zstd_encode(int clevel, const uint8_t* src, int n, uint8_t* dst,
+                int maxout);
+int zstd_decode(const uint8_t* src, int len, uint8_t* dst, int maxout);
+int snappy_encode(const uint8_t* src, int n, uint8_t* dst, int maxout);
+int snappy_decode(const uint8_t* src, int len, uint8_t* dst, int maxout);
+
+inline bool codec_native_available(int compcode) {
+  switch (compcode) {
+    case kBloscLZ:
+    case kLZ4:
+    case kLZ4HC:
+    case kSnappy:
+      return true;
+    case kZlib:
+      return zlib_available();
+    case kZstd:
+      return zstd_available();
+    default:
+      return false;
+  }
+}
+
 }  // namespace cbt

@@ -216,6 +216,12 @@ int64_t compress_block(int compcode, int clevel, int doshuffle, int typesize,
   int64_t pos = 0;
   for (int s = 0; s < nsplits; ++s) {
     int64_t maxout = neblock;
+    if (compcode == kSnappy) {
+      // snappy gets headroom past neblock (snappy_max_compressed_length
+      // role, blosc.c:640-645); a stream in (neblock, maxout] is stored
+      // compressed, mirroring the reference and the numpy engine.
+      maxout = 32 + neblock + neblock / 6;
+    }
     int64_t remaining = budget - pos - 4;
     if (maxout > remaining) maxout = remaining;
     if (maxout <= 0) return -1;
@@ -234,9 +240,22 @@ int64_t compress_block(int compcode, int clevel, int doshuffle, int typesize,
         cbytes = lz4hc_encode(stream, (int)neblock, out + pos + 4,
                               (int)maxout, clevel);
         break;
+      case kSnappy:
+        cbytes = snappy_encode(stream, (int)neblock, out + pos + 4,
+                               (int)maxout);
+        break;
+      case kZlib:
+        cbytes = zlib_encode(clevel, stream, (int)neblock, out + pos + 4,
+                             (int)maxout);
+        break;
+      case kZstd:
+        cbytes = zstd_encode(clevel, stream, (int)neblock, out + pos + 4,
+                             (int)maxout);
+        break;
       default:
         return -2;  // codec not handled natively; caller falls back
     }
+    if (cbytes == -2) return -2;
     if (cbytes < 0) return -1;
     if (cbytes == 0 || cbytes == neblock) {
       if (pos + 4 + neblock > budget) return -1;
@@ -285,6 +304,18 @@ bool decompress_block(int compcode, int doshuffle, int typesize,
         case kLZ4:
         case kLZ4HC:
           n = lz4_decode(stream, cbytes, target + s * neblock, (int)neblock);
+          break;
+        case kSnappy:
+          n = snappy_decode(stream, cbytes, target + s * neblock,
+                            (int)neblock);
+          break;
+        case kZlib:
+          n = zlib_decode(stream, cbytes, target + s * neblock,
+                          (int)neblock);
+          break;
+        case kZstd:
+          n = zstd_decode(stream, cbytes, target + s * neblock,
+                          (int)neblock);
           break;
         default:
           return false;
@@ -354,6 +385,7 @@ int64_t cbt_compress_chunk(int clevel, int doshuffle, int typesize,
   if (doshuffle == kShuffle) flags |= kDoShuffle;
   if (doshuffle == kBitShuffle) flags |= kDoBitshuffle;
   if (dont_split) flags |= kDontSplit;
+  if (compcode < 0 || compcode > kZstd) return -2;
   static const uint8_t compformat[6] = {0, 1, 1, 2, 3, 4};
   flags |= compformat[compcode] << 5;
 
@@ -376,6 +408,7 @@ int64_t cbt_compress_chunk(int clevel, int doshuffle, int typesize,
   };
 
   if (memcpyed) return memcpy_path();
+  if (!codec_native_available(compcode)) return -2;  // caller falls back
 
   // Per-block worst-case budget (cf. ebsize, blosc.c:1745).
   int64_t budget = blocksize + 4 * (int64_t)typesize;
@@ -443,7 +476,8 @@ int64_t cbt_decompress_chunk(const uint8_t* chunk, int64_t chunk_len,
   static const int fmt2code[5] = {kBloscLZ, kLZ4, kSnappy, kZlib, kZstd};
   if (compformat > 4) return -1;
   int compcode = fmt2code[compformat];
-  if (compcode != kBloscLZ && compcode != kLZ4) return -2;  // fall back
+  // LZ4HC shares the LZ4 wire format; the header cannot distinguish them
+  if (!codec_native_available(compcode)) return -2;  // fall back
   if (chunk[1] != 1) return -9;
 
   int64_t nblocks = nbytes / blocksize;
