@@ -118,23 +118,47 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
         slots, csizes = compress(x)
         return csizes.sum() + slots[0, 0].astype(jnp.int32)
 
+    # direct decompress timing on pre-encoded slots (not inferred as
+    # roundtrip minus compress): the timed chain re-decodes the same
+    # compressed batch; the scalar result feeds the loop carry
+    slots0, csizes0 = jax.jit(compress)(x)
+    slots0 = pipeline.mask_past_csize(slots0, csizes0, slots0.shape[1])
+    slots0.block_until_ready()
+
+    def dep_decompress(s):
+        out, err = pipeline.decompress_blocks(
+            s, csizes0, neblock, doshuffle, typesize, nsplits, compcode)
+        return out[0, 0].astype(jnp.int32) + err.sum().astype(jnp.int32)
+
     def dep_roundtrip(x):
         out, err, csizes = roundtrip(x)
         return (csizes.sum() + out[0, 0].astype(jnp.int32)
                 + err.sum().astype(jnp.int32))
 
-    def time_it(many, reps=iters):
-        y = many(x)
+    def chain_u8(step, arr, reps=iters):
+        @jax.jit
+        def many(a):
+            def body(i, a):
+                r = step(a)
+                return a.at[0, 0].set(a[0, 0] ^ (r % 2).astype(jnp.uint8))
+            return jax.lax.fori_loop(0, reps, body, a)
+        return many, arr
+
+    def time_it(many, xx=None, reps=iters):
+        xx = x if xx is None else xx
+        y = many(xx)
         flat = y.reshape(-1)
         _ = float(jnp.sum(flat[:8].astype(jnp.int32)))       # warm + compile
         lat = _readback_latency(jnp, flat)
         t0 = time.perf_counter()
-        y = many(x)
+        y = many(xx)
         _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
         el = time.perf_counter() - t0
         return max(el - lat, el * 0.02) / reps
 
     comp_dt = time_it(chain(dep_compress))
+    dmany, darg = chain_u8(dep_decompress, slots0)
+    decomp_direct_dt = time_it(dmany, darg)
     rt_dt = time_it(chain(dep_roundtrip))
     # the plain read pass is ~100x faster than the codec: amortize far
     # more repetitions, and never trust a measurement below half the
@@ -154,7 +178,6 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
 
     read_dt = time_read()
 
-    decomp_dt = max(rt_dt - comp_dt, 1e-9)
     return {
         "nbytes": nbytes,
         "nchunks": nchunks,
@@ -163,9 +186,50 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
         "nsplits": nsplits,
         "ratio": round(ratio, 2),
         "compress_gbps": total_bytes / comp_dt / 1e9,
-        "decompress_gbps": total_bytes / decomp_dt / 1e9,
+        "decompress_gbps": total_bytes / decomp_direct_dt / 1e9,
         "roundtrip_gbps": total_bytes / rt_dt / 1e9,
         "device_read_gbps": total_bytes / read_dt / 1e9,
+    }
+
+
+def bench_host(nbytes: int, typesize: int, sbits: int, clevel: int,
+               doshuffle: int, iters: int, workingset: int,
+               codec_name: str = "blosclz", nthreads: int = 1) -> dict:
+    """Host-engine leg: the native C++ engine through the byte API
+    (reference counterpart: bench.c on the pthread pool)."""
+    import cblosc_tpu as blosc
+    from cblosc_tpu.native import binding
+
+    if binding.available() is False:
+        return {}
+    nchunks = max(1, workingset // nbytes)
+    datas = [synth(nbytes, typesize, sbits, seed=i) for i in range(nchunks)]
+    total = nbytes * nchunks
+    chunks = []
+    t0 = time.perf_counter()
+    for it in range(iters):
+        chunks = [
+            blosc.compress_ctx(clevel, doshuffle, typesize, d.tobytes(),
+                               compressor=codec_name,
+                               numinternalthreads=nthreads,
+                               backend="native")
+            for d in datas
+        ]
+        if not all(chunks):
+            return {}
+    comp_dt = (time.perf_counter() - t0) / iters
+    t0 = time.perf_counter()
+    for it in range(iters):
+        outs = [blosc.decompress_ctx(c, numinternalthreads=nthreads,
+                                     backend="native") for c in chunks]
+    decomp_dt = (time.perf_counter() - t0) / iters
+    assert outs[0] == datas[0].tobytes()
+    cbytes = sum(len(c) for c in chunks)
+    return {
+        "ratio": round(total / cbytes, 2),
+        "compress_gbps": total / comp_dt / 1e9,
+        "decompress_gbps": total / decomp_dt / 1e9,
+        "nthreads": nthreads,
     }
 
 
@@ -184,6 +248,12 @@ def main() -> None:
     ap.add_argument("--workingset", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--suite", action="store_true",
                     help="clevel 1-9 sweep like `bench blosclz shuffle suite`")
+    ap.add_argument("--hardsuite", action="store_true",
+                    help="size x typesize x sbits sweep "
+                         "(bench/bench.c:431-476 reduced grid)")
+    ap.add_argument("--host", action="store_true",
+                    help="also time the native host engine (byte API)")
+    ap.add_argument("--host-nthreads", type=int, default=1)
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of one timed pass")
@@ -193,6 +263,35 @@ def main() -> None:
         import jax
 
         jax.profiler.start_trace(args.profile)
+
+    if args.hardsuite:
+        # reduced reference hardsuite grid (bench.c:441-455: sizes,
+        # typesizes, significant-bit sweeps), one clevel
+        rows = []
+        for nbytes in (64 << 10, 1 << 20, 8 << 20):
+            for ts in (1, 4, 8, 32):
+                for sb in (4, 19, 32):
+                    r = bench_device(nbytes, ts, sb, args.clevel or 5,
+                                     args.shuffle, max(1, args.iters // 3),
+                                     max(nbytes, 32 << 20), args.codec)
+                    r.update(size=nbytes, typesize=ts, sbits=sb)
+                    rows.append(r)
+                    if not args.json_only:
+                        print(f"# {nbytes>>10:6d} KB ts {ts:2d} sbits {sb:2d}"
+                              f": ratio {r['ratio']:7.1f}  comp "
+                              f"{r['compress_gbps']:6.2f}  decomp "
+                              f"{r['decompress_gbps']:6.2f} GB/s",
+                              file=sys.stderr)
+        best = max(rows, key=lambda r: r["compress_gbps"])
+        print(json.dumps({
+            "metric": f"{args.codec}_hardsuite_compress_device",
+            "value": round(best["compress_gbps"], 2), "unit": "GB/s",
+            "vs_baseline": round(best["compress_gbps"] / REF_COMPRESS_GBPS, 2),
+            "details": {"rows": [
+                {k: (round(v, 2) if isinstance(v, float) else v)
+                 for k, v in r.items()} for r in rows]},
+        }))
+        return
 
     clevels = (range(1, 10) if args.suite
                else ([args.clevel] if args.clevel else [1, 5, 9]))
@@ -217,6 +316,17 @@ def main() -> None:
 
         jax.profiler.stop_trace()
 
+    host = {}
+    if args.host:
+        host = bench_host(args.nbytes, args.typesize, args.sbits,
+                          args.clevel or 5, args.shuffle, args.iters,
+                          min(args.workingset, 32 << 20), args.codec,
+                          args.host_nthreads)
+        if host and not args.json_only:
+            print(f"# host({host['nthreads']}t): ratio {host['ratio']:6.1f}x"
+                  f"  comp {host['compress_gbps']:7.2f} GB/s  decomp "
+                  f"{host['decompress_gbps']:7.2f} GB/s", file=sys.stderr)
+
     best = max(results, key=lambda r: r["compress_gbps"])
     best_d = max(results, key=lambda r: r["decompress_gbps"])
     line = {
@@ -238,6 +348,9 @@ def main() -> None:
             ),
             "ratio": best["ratio"],
             "device_read_gbps": round(best["device_read_gbps"], 2),
+            **({"host_engine": {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in host.items()}} if host else {}),
             "config": {
                 "chunk_nbytes": best["nbytes"], "nchunks": best["nchunks"],
                 "typesize": args.typesize, "sbits": args.sbits,

@@ -281,3 +281,163 @@ def training_step_2d(blocks: jax.Array, doshuffle: int, typesize: int,
     )
     out = unfilt(streams)
     return out, err, total[0]
+
+
+# ---------------------------------------------------------------------------
+# Sharded byte API: serialized chunks in / out over the mesh
+# ---------------------------------------------------------------------------
+
+def compress_chunk(
+    clevel: int,
+    doshuffle: int,
+    typesize: int,
+    data: bytes,
+    mesh: Mesh,
+    compcode: int = 0,
+) -> bytes:
+    """bytes -> sharded pipeline -> serialized chunk.
+
+    Full blocks compress across the mesh; each device compacts its
+    contiguous body segment ON DEVICE (pipeline.compact_chunk at the
+    globally-scanned offsets), so only final compressed bytes leave the
+    devices. Blocks past the mesh-divisible prefix and the leftover
+    block run through the host engine (uneven-block handling), exactly
+    like the reference's serial tail.
+    """
+    import struct
+
+    import numpy as np
+
+    from ..core import engine, policy
+    from ..format import constants as C
+    from ..format.header import ChunkHeader
+
+    nbytes = len(data)
+    destsize = nbytes + C.MAX_OVERHEAD
+    ctx = engine.build_context(
+        clevel, doshuffle, typesize, nbytes, destsize, compcode,
+        exact_blocksize=policy.compute_blocksize_device(
+            clevel, typesize, nbytes, 0, compcode),
+    )
+    if ctx.memcpyed or ctx.nblocks == 0:
+        return engine.compress_chunk(ctx, data)
+    nsplits = policy.nsplits_encode(ctx.dont_split, ctx.typesize, False)
+    if ctx.blocksize % nsplits:
+        return engine.compress_chunk(ctx, data)
+    ndev = _nsplit_rows(mesh)
+    nfull = ctx.nbytes // ctx.blocksize
+    ndevb = nfull - nfull % ndev
+    src = np.frombuffer(data, dtype=np.uint8)
+
+    parts: list[bytes] = []
+    bstarts: list[int] = []
+    header = 16 + 4 * ctx.nblocks
+    pos = header
+
+    if ndevb:
+        x = jnp.asarray(src[: ndevb * ctx.blocksize].reshape(
+            ndevb, ctx.blocksize))
+        slots, csizes, split_off, _ = compress_blocks_sharded(
+            x, ctx.doshuffle, ctx.typesize, nsplits, mesh, ctx.compcode)
+        rows = ndevb * nsplits
+        lrows = rows // ndev
+        cap = int(lrows * (slots.shape[1] + 4))
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(BLOCKS, None), P(BLOCKS), P(BLOCKS)),
+            out_specs=P(BLOCKS, None),
+            check_vma=False,
+        )
+        def compact(sl, cs, offs):
+            local = pipeline.compact_chunk(sl, cs, offs - offs[0], cap)
+            return local[None]
+
+        segs = np.asarray(compact(slots, csizes, split_off))
+        cs_np = np.asarray(csizes).reshape(ndevb, nsplits)
+        blk_sizes = (cs_np + 4).sum(axis=1)
+        for j in range(ndevb):
+            bstarts.append(pos)
+            pos += int(blk_sizes[j])
+        dev_lens = blk_sizes.reshape(ndev, -1).sum(axis=1)
+        for dvi in range(ndev):
+            parts.append(segs[dvi, : int(dev_lens[dvi])].tobytes())
+
+    for j in range(ndevb, ctx.nblocks):
+        enc = engine.compress_block(ctx, src, j)
+        if enc is None:
+            return engine.compress_chunk(ctx, data)   # incompressible path
+        bstarts.append(pos)
+        pos += len(enc)
+        parts.append(enc)
+
+    if pos > destsize:
+        return engine.compress_chunk(ctx, data)
+    hdr = ChunkHeader(
+        version=C.VERSION_FORMAT, versionlz=ctx.versionlz, flags=ctx.flags,
+        typesize=ctx.typesize & 0xFF, nbytes=ctx.nbytes,
+        blocksize=ctx.blocksize, cbytes=pos,
+    )
+    return b"".join(
+        [hdr.encode(), struct.pack(f"<{ctx.nblocks}i", *bstarts)] + parts)
+
+
+def decompress_chunk(chunk_bytes: bytes, mesh: Mesh) -> bytes:
+    """Serialized chunk -> sharded decode -> bytes (static contiguous
+    block partition per device, as the reference's decompression side,
+    blosc.c:1777-1791)."""
+    import numpy as np
+
+    from ..core import engine, policy
+    from ..format.header import ChunkHeader, FormatError, read_bstarts
+
+    chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
+    hdr = ChunkHeader.decode(chunk_bytes)
+    if hdr.memcpyed or hdr.nbytes == 0:
+        return engine.decompress_chunk(bytes(chunk_bytes), hdr.nbytes, 1)
+    nsplits = policy.nsplits_decode(
+        hdr.dont_split, hdr.typesize, hdr.blocksize, False)
+    if hdr.blocksize % nsplits:
+        return engine.decompress_chunk(bytes(chunk_bytes), hdr.nbytes, 1)
+    neblock = hdr.blocksize // nsplits
+    ndev = _nsplit_rows(mesh)
+    nfull = hdr.nblocks - (1 if hdr.leftover else 0)
+    ndevb = nfull - nfull % ndev
+
+    bstarts = read_bstarts(chunk_bytes, hdr.nblocks)
+    offs = np.empty(ndevb * nsplits, dtype=np.int32)
+    csizes = np.empty(ndevb * nsplits, dtype=np.int32)
+    clen = chunk.size
+    for j in range(ndevb):
+        p = bstarts[j]
+        for s in range(nsplits):
+            if p < 0 or p + 4 > clen:
+                raise FormatError("split offset out of range")
+            cs = int(np.frombuffer(chunk[p:p + 4].tobytes(), "<i4")[0])
+            if cs < 0 or p + 4 + cs > clen:
+                raise FormatError("split size out of range")
+            offs[j * nsplits + s] = p + 4
+            csizes[j * nsplits + s] = cs
+            p += 4 + cs
+
+    out_parts = []
+    if ndevb:
+        from ..format import constants as C
+
+        doshuffle = (C.SHUFFLE if hdr.doshuffle
+                     else (C.BITSHUFFLE if hdr.dobitshuffle else 0))
+        blocks, err = decompress_blocks_sharded(
+            jnp.asarray(chunk), jnp.asarray(offs), jnp.asarray(csizes),
+            neblock, doshuffle, hdr.typesize, nsplits, mesh)
+        if bool(np.asarray(err).any()):
+            return engine.decompress_chunk(bytes(chunk_bytes), hdr.nbytes, 1)
+        out_parts.append(np.asarray(blocks).reshape(-1).tobytes())
+    for j in range(ndevb, hdr.nblocks):
+        bsize = hdr.blocksize
+        lob = False
+        if j == hdr.nblocks - 1 and hdr.leftover:
+            bsize = hdr.leftover
+            lob = True
+        out_parts.append(engine.decompress_block(
+            hdr, chunk, bstarts[j], bsize, leftoverblock=lob).tobytes())
+    return b"".join(out_parts)

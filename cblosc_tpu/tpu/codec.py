@@ -84,23 +84,17 @@ def slot_width(n: int) -> int:
 # Encoder
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=1)
-def encode(
-    s: jax.Array, dists: tuple = DISTANCES
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Encode batched streams.
+def _score(s: jax.Array, dists: tuple):
+    """Distance selection + purity detection.
 
-    s: uint8 (N, n). Returns (slots uint8 (N, slot_width(n)), csizes int32
-    (N,), est_iters int32 (N,)). est_iters estimates decoder while-loop
-    iterations (for the caller's stored-raw speed policy). Rows that do
-    not compress report csize >= n and the caller applies the stored-raw
-    rule (blosc.c:705-714).
+    Returns (eq (N,n) bool at the chosen distance, d_row (N,1) i32,
+    pure (N,) bool). A row is PURE when one run at the chosen distance
+    covers everything matchable ([d, n-1)) — the dominant shape for
+    shuffled typed data — and its whole emission is closed-form
+    (_emit_pure), skipping segmentation scans and the emission sort.
     """
     N, n = s.shape
-    W = slot_width(n)
     idx = jnp.arange(n, dtype=I32)
-
-    # -- per-stream distance selection (coverage proxy over static shifts) --
     eqs = []
     covs = []
     for d in dists:
@@ -118,6 +112,150 @@ def encode(
     for k in range(1, len(dists)):
         eq = jnp.where((best == k)[:, None], eqs[k], eq)
     d_row = jnp.asarray(dists, I32)[best][:, None]       # (N, 1)
+    d = d_row[:, 0]
+    total = jnp.sum(eq.astype(I32), axis=1)
+    pure = (total == n - 1 - d) & (n - 1 - d >= 3) & (d <= 256)
+    return eq, d_row, pure
+
+
+def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
+    """Closed-form emission for pure rows: one literal prefix of d
+    bytes, SUBMAX matches covering [d, d+eff), a 1-3 byte literal tail.
+    Byte-identical to the sort path on pure rows (asserted by
+    tests/test_tpu_codec.py) at a fraction of its cost — no scans, no
+    sort, one pass over a <=2 KB buffer."""
+    G, n = s.shape
+    PW = min(W, 2048)
+    d = d_vec.reshape(-1, 1)                # (G,1)
+    rl = n - 1 - d
+    tail = rl % SUBMAX
+    short = (tail > 0) & (tail < 3)
+    eff = rl - jnp.where(short, tail, 0)
+    lit2 = n - d - eff                      # 1..3 trailing literal bytes
+    mf = eff // SUBMAX                      # full sub-matches (v=1021)
+    pr = eff % SUBMAX                       # partial sub length (0 or >=3)
+    nc1 = (d + 31) // 32
+    E1 = d + nc1
+    vp = pr - 3
+    kp = jnp.where(vp >= 6, (vp - 6) // 255 + 1, 0)
+    tp = jnp.where(pr > 0, 2 + kp, 0)
+    E2 = E1 + 6 * mf + tp
+    csize = (E2 + 1 + lit2)[:, 0]
+
+    dm1 = d - 1
+    dhi, dlo = dm1 >> 8, dm1 & 255
+
+    p = jnp.arange(PW, dtype=I32)[None, :]
+    # region 1: literal chunks (ctrl every 33 emitted bytes). For
+    # p < E1 = d + nc1 <= 33*nc1, p//33 never exceeds nc1-1, so the
+    # chunk index is STATIC — the literal-byte gather compiles to a
+    # constant-index reshuffle.
+    k = p // 33
+    isc1 = (p % 33 == 0)
+    clen1 = jnp.minimum(32, d - 32 * k)
+    src1 = jnp.clip(p - k - 1, 0, n - 1)[0]  # static index array
+    lit1 = jnp.take(s, src1, axis=1).astype(I32)
+    b1 = jnp.where(isc1, clen1 - 1, lit1)
+
+    # region 2: tokens — mf full 6-byte tokens then one partial token
+    q = p - E1
+    o_full = q % 6
+    fullext = jnp.asarray([0, 255, 255, 255, 250, 0], I32)[
+        jnp.clip(o_full, 0, 5)]
+    b_full = jnp.where(o_full == 0, (7 << 5) | dhi,
+                       jnp.where(o_full == 5, dlo, fullext))
+    o_p = q - 6 * mf
+    tok0p = (jnp.where(vp < 6, (vp + 1) << 5, 7 << 5)) | dhi
+    extp = jnp.clip(vp - 6 - 255 * (o_p - 1), 0, 255)
+    b_part = jnp.where(o_p == 0, tok0p,
+                       jnp.where(o_p <= kp, extp, dlo))
+    b2 = jnp.where(q < 6 * mf, b_full, b_part)
+
+    # region 3: trailing ctrl + last literal bytes (static last-3 slice)
+    j2 = p - E2 - 1 + (3 - lit2)
+    last3 = s[:, n - 3:n].astype(I32)
+    b3 = jnp.where(p == E2, lit2 - 1,
+                   jnp.where(j2 <= 0, last3[:, 0:1],
+                             jnp.where(j2 == 1, last3[:, 1:2],
+                                       last3[:, 2:3])))
+
+    out = jnp.where(p < E1, b1, jnp.where(p < E2, b2, b3))
+    out = jnp.where(p < csize[:, None], out, 0)
+    out = out.at[:, 0].set(out[:, 0] | 32)               # format marker bit
+    slots = jnp.pad(out.astype(U8), ((0, 0), (0, W - PW)))
+
+    ntok = (mf + (pr > 0))[:, 0]
+    npart = ((d[:, 0] % 32 > 0).astype(I32) + 1)
+    nfull = d[:, 0] // 32
+    est = ntok + npart + nfull // _FASTLIT + 8
+    return slots, csize, est
+
+
+_PURE_GROUP = 512       # rows per purity-homogeneous emission group
+
+
+@partial(jax.jit, static_argnums=1)
+def encode(
+    s: jax.Array, dists: tuple = DISTANCES
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode batched streams.
+
+    s: uint8 (N, n). Returns (slots uint8 (N, slot_width(n)), csizes int32
+    (N,), est_iters int32 (N,)). est_iters estimates decoder while-loop
+    iterations (for the caller's stored-raw speed policy). Rows that do
+    not compress report csize >= n and the caller applies the stored-raw
+    rule (blosc.c:705-714).
+
+    Rows are scored once, then emitted in purity-sorted groups: groups
+    of pure rows take the closed-form path behind a group-level scalar
+    lax.cond; everything else runs the scan + sort pipeline.
+    """
+    N, n = s.shape
+    W = slot_width(n)
+    eq, d_row, pure = _score(s, dists)
+
+    if N <= 8 or n < 8:  # tiny batches: grouping overhead beats the win
+        return _emit_full(s, eq, d_row)
+
+    order = jnp.argsort(jnp.where(pure, 0, 1), stable=True)
+    inv = jnp.argsort(order)
+    G = min(_PURE_GROUP, 1 << (N.bit_length() - 1))
+    pad = (-N) % G
+    so = jnp.take(s, order, axis=0)
+    eo = jnp.take(eq, order, axis=0)
+    do = jnp.take(d_row, order, axis=0)
+    po = jnp.take(pure, order)
+    if pad:
+        so = jnp.pad(so, ((0, pad), (0, 0)))
+        eo = jnp.pad(eo, ((0, pad), (0, 0)))
+        do = jnp.pad(do, ((0, pad), (0, 0)), constant_values=1)
+        po = jnp.pad(po, (0, pad), constant_values=False)
+    g = so.shape[0] // G
+
+    def emit_group(t):
+        sg, eg, dg, pg = t
+        return jax.lax.cond(
+            jnp.all(pg),
+            lambda _: _emit_pure(sg, dg, W),
+            lambda _: _emit_full(sg, eg, dg),
+            None)
+
+    slots, csize, est = jax.lax.map(
+        emit_group,
+        (so.reshape(g, G, n), eo.reshape(g, G, n),
+         do.reshape(g, G, 1), po.reshape(g, G)),
+    )
+    slots = jnp.take(slots.reshape(-1, W)[:N], inv, axis=0)
+    csize = jnp.take(csize.reshape(-1)[:N], inv)
+    est = jnp.take(est.reshape(-1)[:N], inv)
+    return slots, csize, est
+
+
+def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array):
+    """Scan + sort emission (any row shape)."""
+    N, n = s.shape
+    W = slot_width(n)
+    idx = jnp.arange(n, dtype=I32)
 
     # -- match segmentation at the chosen distance ---------------------------
     noneq = jnp.where(eq, -1, idx)

@@ -226,7 +226,7 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     swi = jnp.arange(st._SUBW, dtype=I32)[None, :]
 
     def inner(carry, _):
-        ip, op, phase, mlsave, offsave, extacc, dist, err, fin = carry
+        ip, op, phase, mlsave, offsave, extacc, dist, uni, err, fin = carry
         ipblk = jnp.clip(ip // 128, 0, B - WB)
         winc = ipblk * 128
         win = st._select_rows(src3, ipblk, WB)
@@ -295,7 +295,7 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             d2 = jnp.where(dist == 0, offv, dist)
             m_err = m_done & (
                 (offv == 0) | (offv > op) | (op + mlen > out_len)
-                | (ip3 > csizes) | (offv != d2))
+                | (ip3 > csizes))
             rec_m = jnp.stack([jnp.ones_like(ip), offv, op, mlen], axis=1)
 
             # ---- merge + state advance ------------------------------------
@@ -323,22 +323,24 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
                 lext_more, jnp.where(is0, 15, extacc) + 255 * 8,
                 jnp.where(mext_more, jnp.where(is2, 15, extacc) + 255 * 8,
                           0))
-            dist_n = jnp.where(m_done, d2, dist)
+            dist_n = jnp.where(m_done & ~err_t, d2, dist)
+            uni_n = uni & ~(m_done & ~err_t & (offv != d2))
 
             upd = (ip_n, op_n, phase_n, mlsave_n, offsave_n, extacc_n,
-                   dist_n)
-            old = (ip, op, phase, mlsave, offsave, extacc, dist)
-            ip, op, phase, mlsave, offsave, extacc, dist = (
+                   dist_n, uni_n)
+            old = (ip, op, phase, mlsave, offsave, extacc, dist, uni)
+            ip, op, phase, mlsave, offsave, extacc, dist, uni = (
                 jnp.where(good, n, o) for n, o in zip(upd, old))
             err = err | (act & err_t)
             fin = fin | (good & lit_fin)
 
         rows = jnp.stack(step_recs, axis=1)
-        return (ip, op, phase, mlsave, offsave, extacc, dist, err, fin), rows
+        return (ip, op, phase, mlsave, offsave, extacc, dist, uni, err,
+                fin), rows
 
     def cond(stt):
         recs, kslot, carry = stt[0], stt[1], stt[2:]
-        return jnp.any(~(carry[7] | carry[8])) & (kslot < nchunks)
+        return jnp.any(~(carry[8] | carry[9])) & (kslot < nchunks)
 
     def body(stt):
         recs, kslot = stt[0], stt[1]
@@ -352,14 +354,14 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     stt = jax.lax.while_loop(
         cond, body,
         (recs0, jnp.int32(0),
-         zero, zero, zero, zero, zero, zero, zero,
+         zero, zero, zero, zero, zero, zero, zero, zero == 0,
          csizes <= 0, csizes <= 0),
     )
     recs = stt[0]
-    ip, op, phase, mlsave, offsave, extacc, dist, err, fin = stt[2:]
+    ip, op, phase, mlsave, offsave, extacc, dist, uni, err, fin = stt[2:]
     err = err | ~(err | fin)
     ok = ~err & (op == out_len)
-    return recs, dist, ok
+    return recs, dist, uni, ok
 
 
 @partial(jax.jit, static_argnums=2)
@@ -379,17 +381,30 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
     group = structured._group_rows(out_len)
 
+    kernel_place = structured.use_expand_kernel()
+
     def run(sl, cs):
-        recs, dist, ok = _walk_batch(sl, cs, out_len, maxrec)
+        recs, dist, uni, ok = _walk_batch(sl, cs, out_len, maxrec)
         valid = recs[..., 0] >= 0
-        splat = ok & (dist <= 1) & (cs <= structured._PREFIX)
+        splat = ok & uni & (dist <= 1) & (cs <= structured._PREFIX)
+
+        def slow(_):
+            if kernel_place:
+                from . import expand as expand_mod
+
+                sk = expand_mod.expand(
+                    sl[:, :W], expand_mod.compact_records(recs), out_len,
+                    interpret=jax.default_backend() == "cpu")
+                return sk, ok
+            return structured._place_and_fill(
+                sl[:, :W], cs, recs, valid, dist, uni, ok, out_len)
+
         fast = jnp.all(splat | (cs <= 0))
         return jax.lax.cond(
             fast,
             lambda _: structured._splat_place(
                 sl, cs, recs, valid, splat, out_len),
-            lambda _: structured._place_and_fill(
-                sl[:, :W], cs, recs, valid, dist, ok, out_len),
+            slow,
             None)
 
     if N <= group:

@@ -114,7 +114,7 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     swi = jnp.arange(_SUBW, dtype=I32)[None, :]
 
     def inner(carry, _):
-        ip, op, token, extacc, dist, err, fin = carry
+        ip, op, token, extacc, dist, uni, err, fin = carry
 
         # one aligned window per row, via masked full-array reductions
         ipblk = jnp.clip(ip // 128, 0, B - _WB)
@@ -173,7 +173,6 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             m_ok = ~is_lit & ~ext_more
             m_err = m_ok & (
                 (bk > op) | (op + mlen > out_len) | (ip4 >= csizes)
-                | (bk != d2)                  # mixed distances: bail out
             )
             ext_err = ext_more & (ip + 8 >= csizes)
             tok_m = sel(sq + eoff + 1 + jnp.where(far, 2, 0))
@@ -198,21 +197,22 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
                 is_lit, extacc,
                 jnp.where(ext_more, extacc + 8 * 255, 0))
             dist_n = jnp.where(m_ok & ~err_t, d2, dist)
+            uni_n = uni & ~(m_ok & ~err_t & (bk != d2))
             fin_t = is_lit & lit_fin
 
-            upd = (ip_n, op_n, tok_n, ext_n, dist_n)
-            old = (ip, op, token, extacc, dist)
-            ip, op, token, extacc, dist = (
+            upd = (ip_n, op_n, tok_n, ext_n, dist_n, uni_n)
+            old = (ip, op, token, extacc, dist, uni)
+            ip, op, token, extacc, dist, uni = (
                 jnp.where(good, n, o) for n, o in zip(upd, old))
             err = err | (act & err_t)
             fin = fin | (good & fin_t)
 
         rows = jnp.stack(step_recs, axis=1)      # (R, _T, 4)
-        return (ip, op, token, extacc, dist, err, fin), rows
+        return (ip, op, token, extacc, dist, uni, err, fin), rows
 
     def cond(st):
         recs, kslot, carry = st[0], st[1], st[2:]
-        return jnp.any(~(carry[5] | carry[6])) & (kslot < nchunks)
+        return jnp.any(~(carry[6] | carry[7])) & (kslot < nchunks)
 
     def body(st):
         recs, kslot = st[0], st[1]
@@ -226,14 +226,14 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     st = jax.lax.while_loop(
         cond, body,
         (recs0, jnp.int32(0),
-         zero + 1, zero, srci[:, 0] & 31, zero, zero,
+         zero + 1, zero, srci[:, 0] & 31, zero, zero, zero == 0,
          csizes <= 0, csizes <= 1),
     )
     recs = st[0]
-    ip, op, token, extacc, dist, err, fin = st[2:]
+    ip, op, token, extacc, dist, uni, err, fin = st[2:]
     err = err | ~(err | fin)            # ran out of chunks: unhandled
     ok = ~err & (op == out_len)
-    return recs, dist, ok
+    return recs, dist, uni, ok
 
 
 # ---------------------------------------------------------------------------
@@ -295,10 +295,11 @@ def _lit_geometry(slots, csizes, recs, valid, out_len: int):
     return in_lit, dst_p
 
 
-def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
+def _place_and_fill(slots, csizes, recs, rec_valid, dist, uni, ok,
+                    out_len: int):
     """Batched skeleton construction + residue-column forward fill.
-    rec_valid: (N, R) bool mask of live record slots. Returns (out,
-    handled)."""
+    rec_valid: (N, R) bool mask of live record slots. Requires one
+    uniform distance per row (`uni`). Returns (out, handled)."""
     N, Wc = slots.shape
     valid = rec_valid & ok[:, None]
     kind = recs[..., 0]
@@ -358,7 +359,7 @@ def _place_and_fill(slots, csizes, recs, rec_valid, dist, ok, out_len: int):
     okey = (skeys << 8) | byte_s
     out = (jax.lax.sort(okey, dimension=1) & 0xFF).astype(U8)
 
-    handled = ok & (dist < MAX_DIST)
+    handled = ok & uni & (dist < MAX_DIST)
     return out, handled
 
 
@@ -399,6 +400,22 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
 # ---------------------------------------------------------------------------
 
 _GROUP_BYTES = 24 << 20     # sort workspace budget per row group
+
+
+def use_expand_kernel() -> bool:
+    """Whether placement runs the Pallas expand kernel (TPU default) or
+    the XLA sort machine (CPU test legs; CBLOSC_TPU_PLACE overrides)."""
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_PLACE")
+    if v == "pallas":
+        return True
+    if v == "xla":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def _group_rows(out_len: int) -> int:
@@ -461,10 +478,34 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
 
     group = _group_rows(out_len)
 
+    kernel_place = use_expand_kernel()
+
     def run(sl, cs):
-        recs, dist, okf = _walk_batch(sl, cs, out_len, maxrec)
+        recs, dist, uni, okf = _walk_batch(sl, cs, out_len, maxrec)
         valid = recs[..., 0] >= 0
-        splat = okf & (dist <= 1) & (cs <= _PREFIX)
+        splat = okf & uni & (dist <= 1) & (cs <= _PREFIX)
+
+        def slow(_):
+            if kernel_place:
+                # Pallas expand: per-record distances, so mixed-distance
+                # (host/reference-encoded) streams are handled too
+                from . import expand as expand_mod
+
+                sk = expand_mod.expand(
+                    sl[:, :W], expand_mod.compact_records(recs), out_len,
+                    interpret=jax.default_backend() == "cpu")
+                return sk, okf
+            return _place_and_fill(
+                sl[:, :W], cs, recs, valid, dist, uni, okf, out_len)
+
+        import os
+
+        # measured crossover (v5e): the sparse-scatter splat path beats
+        # the per-row kernel only when rows are long (fewer rows per
+        # byte); below 8 KB the kernel's per-row cost wins
+        min_splat = 8192 if kernel_place else 0
+        if os.environ.get("CBLOSC_TPU_SPLAT") == "0" or out_len < min_splat:
+            return slow(None)
         # group-level scalar predicate: rows arrive csize-sorted, so
         # whole groups of trivial rows take the sort-free branch (a
         # scalar lax.cond compiles to a real one-sided conditional)
@@ -472,8 +513,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
         return jax.lax.cond(
             fast,
             lambda _: _splat_place(sl, cs, recs, valid, splat, out_len),
-            lambda _: _place_and_fill(
-                sl[:, :W], cs, recs, valid, dist, okf, out_len),
+            slow,
             None)
 
     if N <= group:

@@ -68,6 +68,19 @@ def test_getitem_matrix(typesize, nelems, align, clevel, shuffle, nthreads):
     assert chunk
     # whole-buffer getitem, as the reference test does (test_getitem.c:15-47)
     assert b.getitem(chunk, 0, nelems) == data
+    # plus deterministic partial ranges (block-interior, block-straddling,
+    # single item, tail) — reference behavior blosc.c:1655-1698
+    rng = np.random.default_rng(nelems * 31 + typesize)
+    ranges = {(0, min(1, nelems)), (max(0, nelems - 3), min(3, nelems))}
+    for _ in range(3):
+        if nelems > 1:
+            start = int(rng.integers(0, nelems - 1))
+            nitems = int(rng.integers(1, nelems - start))
+            ranges.add((start, nitems))
+    for start, nitems in sorted(ranges):
+        got = b.getitem(chunk, start, nitems)
+        want = data[start * typesize:(start + nitems) * typesize]
+        assert got == want, (start, nitems)
 
 
 @pytest.mark.parametrize(

@@ -125,3 +125,34 @@ def test_2d_mesh_roundtrip(rng):
     )(data)
     assert not np.asarray(err).any()
     assert np.array_equal(np.asarray(out), data)
+
+
+def test_sharded_byte_api_roundtrip(rng, mesh):
+    """bytes -> sharded compress (device-side segment assembly) ->
+    conforming chunk; decodes in the oracle AND back through the
+    sharded decoder. Includes an uneven tail (blocks % mesh != 0 plus a
+    leftover block)."""
+    import cblosc_tpu as b
+
+    data = make_buffer(rng, 300_000, 4, "ramp")   # blocks + uneven tail
+    chunk = parallel.compress_chunk(5, 1, 4, data, mesh)
+    assert chunk and len(chunk) < len(data)
+    # conforming chunk: the plain byte API decodes it
+    assert b.decompress_ctx(chunk) == data
+    # sharded decode of a HOST-encoded chunk too (foreign layout)
+    host_chunk = b.compress_ctx(5, 1, 4, data)
+    assert parallel.decompress_chunk(host_chunk, mesh) == data
+    # and of its own chunk
+    assert parallel.decompress_chunk(chunk, mesh) == data
+
+
+def test_sharded_byte_api_tiny_and_incompressible(rng, mesh):
+    import cblosc_tpu as b
+
+    tiny = b"x" * 64                                  # memcpy path
+    c = parallel.compress_chunk(5, 1, 4, tiny, mesh)
+    assert b.decompress_ctx(c) == tiny
+    noise = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    c2 = parallel.compress_chunk(5, 1, 8, noise, mesh)
+    assert c2 and b.decompress_ctx(c2) == noise
+    assert parallel.decompress_chunk(c2, mesh) == noise

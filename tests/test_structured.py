@@ -161,10 +161,11 @@ def test_structured_arbitrary_uniform_distance(rng, d):
     Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
     buf = np.zeros((1, Wpad), np.uint8)
     buf[0, :len(stream)] = np.frombuffer(stream, np.uint8)
-    recs, dist, okf = structured._walk_batch(
+    recs, dist, uni, okf = structured._walk_batch(
         jnp.asarray(buf), jnp.asarray([len(stream)]), n,
         structured.max_records(n))
     assert bool(np.asarray(okf)[0]) and int(np.asarray(dist)[0]) == d
+    assert bool(np.asarray(uni)[0])
 
 
 def test_structured_far_distance_falls_back(rng):

@@ -91,3 +91,62 @@ def test_compression_ratio_on_runs(rng):
     S = np.zeros((1, 8192), np.uint8)
     _, csizes, _ = codec.encode(jnp.asarray(S))
     assert int(np.asarray(csizes)[0]) < 8192 * 0.02
+
+
+def test_pure_closed_form_matches_sort_path(rng):
+    """_emit_pure must be byte-identical to the scan+sort emission on
+    pure rows, for every candidate distance and geometry corner."""
+    from cblosc_tpu.tpu.codec import (_emit_full, _emit_pure, _score,
+                                      slot_width)
+
+    for n in (256, 1024, 2048, 4096, 16384):
+        rows, want_d = [], []
+        for d in codec.DISTANCES:
+            if d >= n - 4 or d > 256:
+                continue
+            pat = rng.integers(0, 256, d, dtype=np.uint8)
+            # ensure the PERIODIC structure doesn't accidentally prefer a
+            # smaller candidate distance: skip rows whose chosen d differs
+            row = np.tile(pat, n // d + 1)[:n]
+            rows.append(row)
+            want_d.append(d)
+        S = jnp.asarray(np.stack(rows))
+        eq, d_row, pure = _score(S, codec.DISTANCES)
+        full = _emit_full(S, eq, d_row)
+        W = slot_width(n)
+        pw = _emit_pure(S, d_row, W)
+        pure_np = np.asarray(pure)
+        for i in range(len(rows)):
+            if not pure_np[i]:
+                continue
+            assert np.array_equal(np.asarray(pw[0][i]), np.asarray(full[0][i])), \
+                (n, want_d[i])
+            assert int(pw[1][i]) == int(full[1][i])
+            assert int(pw[2][i]) == int(full[2][i])
+        assert pure_np.sum() >= len(rows) - 2
+
+
+def test_encode_grouped_pure_matches_ungrouped(rng):
+    """encode() with purity grouping returns the same results as the
+    plain full path for a mixed batch."""
+    from cblosc_tpu.tpu.codec import _emit_full, _score
+
+    n = 2048
+    rows = []
+    for i in range(24):
+        kind = i % 4
+        if kind == 0:
+            rows.append(np.zeros(n, np.uint8))
+        elif kind == 1:
+            rows.append(np.tile(np.arange(16, dtype=np.uint8), n // 16))
+        elif kind == 2:
+            rows.append(rng.integers(0, 6, n).astype(np.uint8))
+        else:
+            rows.append(rng.integers(0, 256, n, dtype=np.uint8))
+    S = jnp.asarray(np.stack(rows))
+    slots, csize, est = codec.encode(S)
+    eq, d_row, pure = _score(S, codec.DISTANCES)
+    slots2, csize2, est2 = _emit_full(S, eq, d_row)
+    assert np.array_equal(np.asarray(csize), np.asarray(csize2))
+    assert np.array_equal(np.asarray(est), np.asarray(est2))
+    assert np.array_equal(np.asarray(slots), np.asarray(slots2))
