@@ -80,7 +80,8 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     def compress(x):
         return pipeline.compress_blocks(
             x, doshuffle, typesize, nsplits,
-            policy.device_min_bytes_per_iter(clevel), compcode)
+            policy.device_min_bytes_per_iter(clevel), compcode,
+            policy.device_min_cratio_x100(clevel))
 
     def roundtrip(x):
         slots, csizes = compress(x)

@@ -210,3 +210,13 @@ def device_min_bytes_per_iter(clevel: int) -> int:
         except ValueError:
             pass
     return 8 if clevel >= 9 else 48
+
+
+# blosclz's entropy-probe abort thresholds x100 (blosclz.c:432-435):
+# rows whose estimated compression ratio falls below the clevel's
+# threshold are stored raw without paying for emission.
+_MIN_CRATIO_X100 = (0, 200, 150, 120, 120, 120, 120, 115, 110, 100)
+
+
+def device_min_cratio_x100(clevel: int) -> int:
+    return _MIN_CRATIO_X100[max(0, min(clevel, 9))]

@@ -115,7 +115,8 @@ def _score(s: jax.Array, dists: tuple):
     d = d_row[:, 0]
     total = jnp.sum(eq.astype(I32), axis=1)
     pure = (total == n - 1 - d) & (n - 1 - d >= 3) & (d <= 256)
-    return eq, d_row, pure
+    cov = jnp.max(stack, axis=0)            # matched-coverage proxy
+    return eq, d_row, pure, cov
 
 
 def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
@@ -191,12 +192,12 @@ def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
     return slots, csize, est
 
 
-_PURE_GROUP = 512       # rows per purity-homogeneous emission group
+_PURE_GROUP = 512       # rows per class-homogeneous emission group
 
 
-@partial(jax.jit, static_argnums=1)
+@partial(jax.jit, static_argnums=(1, 2))
 def encode(
-    s: jax.Array, dists: tuple = DISTANCES
+    s: jax.Array, dists: tuple = DISTANCES, min_cratio_x100: int = 0
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode batched streams.
 
@@ -206,48 +207,67 @@ def encode(
     not compress report csize >= n and the caller applies the stored-raw
     rule (blosc.c:705-714).
 
-    Rows are scored once, then emitted in purity-sorted groups: groups
-    of pure rows take the closed-form path behind a group-level scalar
-    lax.cond; everything else runs the scan + sort pipeline.
+    Rows are scored once, then emitted in class-sorted groups behind
+    group-level scalar lax.conds: PURE rows (one run covers everything
+    matchable) take the closed-form path; HOPELESS rows (estimated
+    ratio below min_cratio_x100/100 — blosclz's entropy-probe abort,
+    blosclz.c:425-435) report csize = n without paying for emission;
+    everything else runs the scan + sort pipeline.
     """
     N, n = s.shape
     W = slot_width(n)
-    eq, d_row, pure = _score(s, dists)
+    eq, d_row, pure, cov = _score(s, dists)
 
     if N <= 8 or n < 8:  # tiny batches: grouping overhead beats the win
         return _emit_full(s, eq, d_row)
 
-    order = jnp.argsort(jnp.where(pure, 0, 1), stable=True)
+    # entropy-probe analog: matched bytes ~ cov; emitted ~ literals +
+    # token bytes + ctrl overhead
+    est_csize = n - cov + cov // 170 + n // 33 + 16
+    hopeless = (~pure) & (100 * n < min_cratio_x100 * est_csize)
+    cls = jnp.where(pure, 0, jnp.where(hopeless, 2, 1))
+
+    order = jnp.argsort(cls, stable=True)
     inv = jnp.argsort(order)
     G = min(_PURE_GROUP, 1 << (N.bit_length() - 1))
     pad = (-N) % G
     so = jnp.take(s, order, axis=0)
     eo = jnp.take(eq, order, axis=0)
     do = jnp.take(d_row, order, axis=0)
-    po = jnp.take(pure, order)
+    co = jnp.take(cls, order)
     if pad:
         so = jnp.pad(so, ((0, pad), (0, 0)))
         eo = jnp.pad(eo, ((0, pad), (0, 0)))
         do = jnp.pad(do, ((0, pad), (0, 0)), constant_values=1)
-        po = jnp.pad(po, (0, pad), constant_values=False)
+        co = jnp.pad(co, (0, pad), constant_values=1)
     g = so.shape[0] // G
 
     def emit_group(t):
-        sg, eg, dg, pg = t
+        sg, eg, dg, cg = t
+
+        def raw_group(_):
+            return (jnp.zeros((G, W), U8),
+                    jnp.full((G,), n, I32),
+                    jnp.zeros((G,), I32))
+
         return jax.lax.cond(
-            jnp.all(pg),
+            jnp.all(cg == 0),
             lambda _: _emit_pure(sg, dg, W),
-            lambda _: _emit_full(sg, eg, dg),
+            lambda _: jax.lax.cond(
+                jnp.all(cg == 2), raw_group,
+                lambda _: _emit_full(sg, eg, dg), None),
             None)
 
     slots, csize, est = jax.lax.map(
         emit_group,
         (so.reshape(g, G, n), eo.reshape(g, G, n),
-         do.reshape(g, G, 1), po.reshape(g, G)),
+         do.reshape(g, G, 1), co.reshape(g, G)),
     )
     slots = jnp.take(slots.reshape(-1, W)[:N], inv, axis=0)
     csize = jnp.take(csize.reshape(-1)[:N], inv)
     est = jnp.take(est.reshape(-1)[:N], inv)
+    # mixed groups still compute hopeless rows: apply the abort uniformly
+    csize = jnp.where(hopeless, n, csize)
     return slots, csize, est
 
 

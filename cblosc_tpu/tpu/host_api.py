@@ -71,7 +71,8 @@ def compress_chunk(ctx, data: bytes) -> bytes | None:
     x = jnp.asarray(src[: nfull * ctx.blocksize].reshape(nfull, ctx.blocksize))
     slots, csizes = pipeline.compress_blocks(
         x, ctx.doshuffle, ctx.typesize, nsplits,
-        policy.device_min_bytes_per_iter(ctx.clevel), ctx.compcode
+        policy.device_min_bytes_per_iter(ctx.clevel), ctx.compcode,
+        policy.device_min_cratio_x100(ctx.clevel),
     )
     slots = np.asarray(slots)
     csizes = np.asarray(csizes)

@@ -49,8 +49,14 @@ def _codec_mod(compcode: int):
 _ENCODE_GROUP_BYTES = 64 << 20
 
 
-def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ):
-    enc = _codec_mod(compcode).encode
+def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
+                    min_cratio_x100: int = 0):
+    mod = _codec_mod(compcode)
+    if compcode == C.BLOSCLZ:
+        def enc(x):
+            return mod.encode(x, codec.DISTANCES, min_cratio_x100)
+    else:
+        enc = mod.encode
     rows, n = streams.shape
     group = max(_ENCODE_GROUP_BYTES // max(n, 1), 8)
     if rows <= group:
@@ -66,10 +72,11 @@ def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ):
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def compress_blocks(
     blocks: jax.Array, doshuffle: int, typesize: int, nsplits: int,
     min_bytes_per_iter: int = 48, compcode: int = C.BLOSCLZ,
+    min_cratio_x100: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Filter + encode full blocks on device.
 
@@ -90,7 +97,8 @@ def compress_blocks(
     neblock = blocksize // nsplits
     filtered = filters.apply_filter(doshuffle, typesize, blocks)
     streams = filtered.reshape(nblocks * nsplits, neblock)
-    slots, csizes, est_iters = _encode_grouped(streams, compcode)
+    slots, csizes, est_iters = _encode_grouped(streams, compcode,
+                                                min_cratio_x100)
     raw = csizes >= neblock
     if min_bytes_per_iter:
         raw |= est_iters > max(neblock // min_bytes_per_iter, 32)

@@ -111,7 +111,7 @@ def test_pure_closed_form_matches_sort_path(rng):
             rows.append(row)
             want_d.append(d)
         S = jnp.asarray(np.stack(rows))
-        eq, d_row, pure = _score(S, codec.DISTANCES)
+        eq, d_row, pure, cov = _score(S, codec.DISTANCES)
         full = _emit_full(S, eq, d_row)
         W = slot_width(n)
         pw = _emit_pure(S, d_row, W)
@@ -145,8 +145,29 @@ def test_encode_grouped_pure_matches_ungrouped(rng):
             rows.append(rng.integers(0, 256, n, dtype=np.uint8))
     S = jnp.asarray(np.stack(rows))
     slots, csize, est = codec.encode(S)
-    eq, d_row, pure = _score(S, codec.DISTANCES)
+    eq, d_row, pure, cov = _score(S, codec.DISTANCES)
     slots2, csize2, est2 = _emit_full(S, eq, d_row)
     assert np.array_equal(np.asarray(csize), np.asarray(csize2))
     assert np.array_equal(np.asarray(est), np.asarray(est2))
     assert np.array_equal(np.asarray(slots), np.asarray(slots2))
+
+
+def test_entropy_abort_stores_marginal_rows_raw(rng):
+    """The device encoder mirrors blosclz's entropy probe
+    (blosclz.c:425-435): below the clevel's estimated-ratio threshold a
+    row reports csize >= n without paying for emission; clevel 9 keeps
+    near-maximum-ratio behavior."""
+    n = 2048
+    # ~12% d=1 coverage: compresses a whisker, ratio ~1.05
+    marginal = rng.integers(0, 8, (16, n)).astype(np.uint8)
+    zeros = np.zeros((16, n), np.uint8)
+    S = jnp.asarray(np.concatenate([marginal, zeros]))
+    _, cs_off, _ = codec.encode(S, codec.DISTANCES, 0)
+    _, cs_cl1, _ = codec.encode(S, codec.DISTANCES, 200)   # clevel-1 bar
+    m_off = np.asarray(cs_off[:16])
+    m_cl1 = np.asarray(cs_cl1[:16])
+    assert (np.asarray(cs_cl1[16:]) < 64).all()      # pure rows untouched
+    assert (m_cl1 >= n).all()                        # aborted
+    # threshold 100 (clevel 9) keeps whatever compresses at all
+    _, cs_cl9, _ = codec.encode(S, codec.DISTANCES, 100)
+    assert np.array_equal(np.asarray(cs_cl9[:16]) >= n, m_off >= n)
