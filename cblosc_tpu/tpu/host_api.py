@@ -9,9 +9,10 @@ library — decodes.
 
 BloscLZ and LZ4/LZ4HC have device codecs; other compcodes return None
 here and the backend router falls back to the native/numpy engines
-(cblosc_tpu.core.backend). Foreign LZ4 chunks whose geometry the
-structured decoder cannot handle also fall back (the device LZ4 path
-has no generic loop decoder yet).
+(cblosc_tpu.core.backend). With the Pallas expand kernel (TPU default)
+mixed-distance foreign streams — host/reference blosclz and any LZ4
+block — decode on device; only record-overflow geometries (token-dense
+beyond max_records) fall back.
 
 For data that already lives on device (the TPU-native use case: compress
 before a DCN transfer or a checkpoint write), use cblosc_tpu.tpu.pipeline
