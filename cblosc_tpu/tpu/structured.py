@@ -504,16 +504,29 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
         # the per-row kernel only when rows are long (fewer rows per
         # byte); below 8 KB the kernel's per-row cost wins
         min_splat = 8192 if kernel_place else 0
-        if os.environ.get("CBLOSC_TPU_SPLAT") == "0" or out_len < min_splat:
-            return slow(None)
-        # group-level scalar predicate: rows arrive csize-sorted, so
-        # whole groups of trivial rows take the sort-free branch (a
-        # scalar lax.cond compiles to a real one-sided conditional)
-        fast = jnp.all(splat | (cs <= 0))
+
+        def dispatch(_):
+            if (os.environ.get("CBLOSC_TPU_SPLAT") == "0"
+                    or out_len < min_splat):
+                return slow(None)
+            # group-level scalar predicate: rows arrive csize-sorted, so
+            # whole groups of trivial rows take the sort-free branch (a
+            # scalar lax.cond compiles to a real one-sided conditional)
+            fast = jnp.all(splat | (cs <= 0))
+            return jax.lax.cond(
+                fast,
+                lambda _: _splat_place(sl, cs, recs, valid, splat, out_len),
+                slow,
+                None)
+
+        # stored-raw / masked groups (csize 0 everywhere) produce
+        # nothing: skip placement entirely (they cluster under the
+        # csize sort — 3/8 of rows on the bench workload)
         return jax.lax.cond(
-            fast,
-            lambda _: _splat_place(sl, cs, recs, valid, splat, out_len),
-            slow,
+            jnp.all(cs <= 0),
+            lambda _: (jnp.zeros((sl.shape[0], out_len), U8),
+                       jnp.zeros((sl.shape[0],), dtype=bool)),
+            dispatch,
             None)
 
     if N <= group:
