@@ -43,14 +43,17 @@ def slot_width(n: int) -> int:
     return n + n // 255 + 16
 
 
-@partial(jax.jit, static_argnums=1)
+@partial(jax.jit, static_argnums=(1, 2))
 def encode(
-    s: jax.Array, dists: tuple = codec.DISTANCES
+    s: jax.Array, dists: tuple = codec.DISTANCES, min_cratio_x100: int = 0
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode batched streams into LZ4 block format.
 
     s: uint8 (N, n). Returns (slots, csizes, est_iters) like
-    codec.encode. Every row is a conforming LZ4 block.
+    codec.encode. Every row is a conforming LZ4 block. Rows whose
+    estimated ratio falls below min_cratio_x100/100 (the blosclz
+    entropy-probe analog, blosclz.c:425-435) report csize = n without
+    paying for segmentation and the emission sort.
     """
     N, n = s.shape
     W = slot_width(n)
@@ -67,11 +70,58 @@ def encode(
         eqs.append(e)
         covs.append(jnp.sum((e[:, 2:] & e[:, 1:-1] & e[:, :-2]).astype(I32),
                             axis=1))
-    best = jnp.argmin(-jnp.stack(covs, 0), axis=0)
-    eq = eqs[0]
+    stack = jnp.stack(covs, 0)
+    best = jnp.argmin(-stack, axis=0)
+    eq0 = eqs[0]
     for k in range(1, len(dists)):
-        eq = jnp.where((best == k)[:, None], eqs[k], eq)
-    d_row = jnp.asarray(dists, I32)[best][:, None]
+        eq0 = jnp.where((best == k)[:, None], eqs[k], eq0)
+    d_row0 = jnp.asarray(dists, I32)[best][:, None]
+
+    if min_cratio_x100 and N > 8 and n >= 8:
+        cov = jnp.max(stack, axis=0)
+        est_csize = n - cov + cov // 170 + n // 33 + 16
+        hopeless = 100 * n < min_cratio_x100 * est_csize
+        order = jnp.argsort(hopeless, stable=True)
+        inv = jnp.argsort(order)
+        G = min(512, 1 << (N.bit_length() - 1))
+        pad = (-N) % G
+        so = jnp.take(s, order, axis=0)
+        eo = jnp.take(eq0, order, axis=0)
+        do = jnp.take(d_row0, order, axis=0)
+        ho = jnp.take(hopeless, order)
+        if pad:
+            so = jnp.pad(so, ((0, pad), (0, 0)))
+            eo = jnp.pad(eo, ((0, pad), (0, 0)))
+            do = jnp.pad(do, ((0, pad), (0, 0)), constant_values=1)
+            ho = jnp.pad(ho, (0, pad), constant_values=False)
+        g = so.shape[0] // G
+
+        def emit_group(t):
+            sg, eg, dg, hg = t
+            return jax.lax.cond(
+                jnp.all(hg),
+                lambda _: (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
+                           jnp.zeros((G,), I32)),
+                lambda _: _emit(sg, eg, dg),
+                None)
+
+        slots, csize, est = jax.lax.map(
+            emit_group,
+            (so.reshape(g, G, n), eo.reshape(g, G, n),
+             do.reshape(g, G, 1), ho.reshape(g, G)))
+        slots = jnp.take(slots.reshape(-1, W)[:N], inv, axis=0)
+        csize = jnp.take(csize.reshape(-1)[:N], inv)
+        est = jnp.take(est.reshape(-1)[:N], inv)
+        csize = jnp.where(hopeless, n, csize)
+        return slots, csize, est
+    return _emit(s, eq0, d_row0)
+
+
+def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array):
+    """LZ4 scan + sort emission."""
+    N, n = s.shape
+    W = slot_width(n)
+    idx = jnp.arange(n, dtype=I32)
 
     # -- match segmentation (LZ4 rules) -------------------------------------
     eq &= idx < n - 5                      # last 5 bytes stay literal

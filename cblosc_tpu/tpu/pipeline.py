@@ -52,11 +52,9 @@ _ENCODE_GROUP_BYTES = 64 << 20
 def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
                     min_cratio_x100: int = 0):
     mod = _codec_mod(compcode)
-    if compcode == C.BLOSCLZ:
-        def enc(x):
-            return mod.encode(x, codec.DISTANCES, min_cratio_x100)
-    else:
-        enc = mod.encode
+
+    def enc(x):
+        return mod.encode(x, codec.DISTANCES, min_cratio_x100)
     rows, n = streams.shape
     group = max(_ENCODE_GROUP_BYTES // max(n, 1), 8)
     if rows <= group:
