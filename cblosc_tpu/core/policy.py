@@ -136,10 +136,17 @@ def compute_blocksize_device(
         neblock = 2048          # fastest sort (0.37 ns/element measured)
     elif clevel <= 4:
         neblock = 8192
-    elif clevel <= 6:
-        neblock = 16384
+    elif clevel <= 8:
+        # The reference's own clevel-5 geometry (1 MB block / typesize
+        # splits, blosc.c:996-1047): long splits amortize each split's
+        # incompressible literal prefix and let the mined far-distance
+        # matches (codec._mine_distance) reach the large byte-plane
+        # periods of shuffled counters. NORMAL rows pay a wider emission
+        # sort, but pure/hopeless classes (the bulk of typed data)
+        # bypass it.
+        neblock = 131072
     else:
-        neblock = 32768         # longest matches, best ratio
+        neblock = 262144        # max ratio; decoder MAX_OUT boundary
     nsplits = typesize if split_block(
         compcode, typesize, neblock * typesize, splitmode
     ) else 1
@@ -220,3 +227,12 @@ _MIN_CRATIO_X100 = (0, 200, 150, 120, 120, 120, 120, 115, 110, 100)
 
 def device_min_cratio_x100(clevel: int) -> int:
     return _MIN_CRATIO_X100[max(0, min(clevel, 9))]
+
+
+def device_mine(clevel: int) -> bool:
+    """Whether the device encoder mines a per-row adaptive match
+    distance (codec._mine_distance). Mining costs two extra row sorts,
+    so it follows the reference's clevel philosophy: speed levels skip
+    it, ratio levels pay for it (blosclz's own clevel tables trade the
+    same way, blosclz.c:432-461)."""
+    return clevel >= 5

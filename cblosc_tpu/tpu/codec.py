@@ -72,6 +72,12 @@ _MATW = 1024          # match copy window: vmapped dynamic ops cost ~2us
 # pass. All < 8192 so the near-distance form always fits.
 DISTANCES = (1, 2, 3, 4, 8, 16, 32, 128, 256)
 
+# blosclz far-distance form: dist = (b1 << 8 | b2) + 8192 after the
+# 31/255 escape (blosclz.c:733-744), so 8192 + 65535 is the format's
+# reachable maximum (the reference's MAX_FARDISTANCE).
+MAX_FARDIST = 8192 + 65535
+_MINRUN_MINED = 16          # min run length worth a mined-distance claim
+
 _BIG = jnp.int32(1 << 29)   # sort key for "no byte here"
 
 
@@ -192,12 +198,75 @@ def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
     return slots, csize, est
 
 
+def _mine_distance(s: jax.Array) -> jax.Array:
+    """Per-row adaptive match distance: the modal gap between repeated
+    4-grams, restricted to run-boundary positions.
+
+    This is the batched answer to the reference's hash table
+    (blosclz.c:459-461): instead of chaining a table per stream, sort
+    (gram, position) pairs so equal grams become neighbors — the
+    predecessor with the same gram IS the nearest previous occurrence —
+    then take the most common occurrence gap as the row's candidate
+    distance. Restricting to positions where s[i] != s[i-1] skips run
+    interiors (their trivial gap-1 repeats would drown the signal that
+    matters: the large byte-plane periods of shuffled counters, which
+    the static candidate set cannot reach).
+
+    Returns (N,) int32 in [4, MAX_FARDIST], 0 when a row has no usable
+    repeat structure.
+    """
+    N, n = s.shape
+    idx = jnp.arange(n, dtype=I32)[None, :]
+    su = s.astype(jnp.uint32)
+    gram = su
+    for k in range(1, 4):
+        gram = gram | (jnp.roll(su, -k, axis=1) << (8 * k))
+    novel = jnp.concatenate(
+        [jnp.ones((N, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    novel &= idx < n - 3
+    key = jnp.where(novel, gram, _BIGU)
+    sk, si = jax.lax.sort((key, jnp.broadcast_to(idx, (N, n))),
+                          dimension=1, num_keys=1, is_stable=True)
+    same = (sk == jnp.roll(sk, 1, axis=1)) & (sk != _BIGU)
+    same = same.at[:, 0].set(False)
+    gap = si - jnp.roll(si, 1, axis=1)
+    usable = same & (gap >= 4) & (gap <= MAX_FARDIST)
+    ds = jax.lax.sort(jnp.where(usable, gap, _BIGI), dimension=1)
+    # longest equal-value run in the sorted gaps = the mode
+    change = jnp.concatenate(
+        [jnp.ones((N, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1)
+    rstart = jax.lax.cummax(jnp.where(change, idx, 0), axis=1)
+    count = jnp.where(ds < _BIGI, idx - rstart + 1, 0)
+    best = jnp.argmax(count, axis=1)
+    d = jnp.take_along_axis(ds, best[:, None], axis=1)[:, 0]
+    hits = jnp.take_along_axis(count, best[:, None], axis=1)[:, 0]
+    return jnp.where((hits >= 4) & (d < _BIGI), d, 0)
+
+
+_BIGU = jnp.uint32(0xFFFFFFFF)
+_BIGI = jnp.int32(0x7FFFFFFF)
+
+
+def _eq_at(s: jax.Array, d: jax.Array) -> jax.Array:
+    """(N, n) bool: s[i] == s[i - d_row] with a per-row traced distance
+    (one vmapped dynamic_slice per row — ~2 us/row on TPU, amortized
+    over the whole row)."""
+    N, n = s.shape
+    padded = jnp.concatenate([jnp.zeros_like(s), s], axis=1)
+    prev = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (n,))
+    )(padded, jnp.clip(n - d, 0, n))
+    idx = jnp.arange(n, dtype=I32)[None, :]
+    return (s == prev) & (idx >= d[:, None]) & (idx < n - 1)
+
+
 _PURE_GROUP = 512       # rows per class-homogeneous emission group
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def encode(
-    s: jax.Array, dists: tuple = DISTANCES, min_cratio_x100: int = 0
+    s: jax.Array, dists: tuple = DISTANCES, min_cratio_x100: int = 0,
+    mine: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode batched streams.
 
@@ -219,7 +288,7 @@ def encode(
     eq, d_row, pure, cov = _score(s, dists)
 
     if N <= 8 or n < 8:  # tiny batches: grouping overhead beats the win
-        return _emit_full(s, eq, d_row)
+        return _emit_full(s, eq, d_row, mine)
 
     # entropy-probe analog: matched bytes ~ cov; emitted ~ literals +
     # token bytes + ctrl overhead
@@ -255,7 +324,7 @@ def encode(
             lambda _: _emit_pure(sg, dg, W),
             lambda _: jax.lax.cond(
                 jnp.all(cg == 2), raw_group,
-                lambda _: _emit_full(sg, eg, dg), None),
+                lambda _: _emit_full(sg, eg, dg, mine), None),
             None)
 
     slots, csize, est = jax.lax.map(
@@ -271,33 +340,69 @@ def encode(
     return slots, csize, est
 
 
-def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array):
-    """Scan + sort emission (any row shape)."""
-    N, n = s.shape
-    W = slot_width(n)
-    idx = jnp.arange(n, dtype=I32)
+def _segment(eq: jax.Array, min_len, idx: jax.Array):
+    """Run segmentation of an eq mask with SUBMAX sub-splitting.
 
-    # -- match segmentation at the chosen distance ---------------------------
+    Returns (is_match, sub_start, suboff, sub_len) — per-position; tails
+    shorter than min_len (per-row or scalar) demote to literals so every
+    emitted sub-match satisfies the wire minimum."""
+    n = eq.shape[1]
     noneq = jnp.where(eq, -1, idx)
     run_start = jax.lax.cummax(noneq, axis=1) + 1
     nxt = jnp.where(eq, n, idx)
     next_noneq = jnp.flip(jax.lax.cummin(jnp.flip(nxt, 1), axis=1), 1)
     runlen = next_noneq - run_start              # maximal run length at eq pos
 
-    is_match = eq & (runlen >= 3)
-    # demote 1-2 byte tails of long runs (SUBMAX split remainder) to literals
+    is_match = eq & (runlen >= min_len)
+    # demote too-short tails of long runs (SUBMAX split remainder)
     roff = idx - run_start
     tail_rem = runlen % SUBMAX
-    short_tail = (tail_rem > 0) & (tail_rem < 3)
+    short_tail = (tail_rem > 0) & (tail_rem < min_len)
     eff_len = jnp.where(short_tail, runlen - tail_rem, runlen)
     is_match &= roff < eff_len
 
     suboff = roff % SUBMAX
     sub_start = is_match & (suboff == 0)
     sub_len = jnp.minimum(SUBMAX, eff_len - (roff - suboff))
+    return is_match, sub_start, suboff, sub_len
+
+
+def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array,
+               mine: bool = False):
+    """Scan + sort emission (any row shape).
+
+    With mine=True a second match class is layered in: runs at the
+    row's mined distance (_mine_distance) claim their positions first
+    and the static-candidate class fills the rest — the batched analog
+    of the reference hash table finding large-period matches
+    (blosclz.c:459-607), including far-distance (> 8191) emission via
+    the 31/255 escape (blosclz.c:733-744).
+    """
+    N, n = s.shape
+    W = slot_width(n)
+    idx = jnp.arange(n, dtype=I32)
+
+    # -- match segmentation ---------------------------------------------------
+    if mine and n >= 1024:
+        d_m = _mine_distance(s)
+        live_m = (d_m > 0) & (d_m < n) & (d_m != d_row[:, 0])
+        eq_m = _eq_at(s, d_m) & live_m[:, None]
+        m2, ss2, so2, sl2 = _segment(
+            eq_m, jnp.int32(_MINRUN_MINED)[None, None], idx)
+        m1, ss1, so1, sl1 = _segment(eq & ~m2, 3, idx)
+        is_match = m1 | m2
+        sub_start = jnp.where(m2, ss2, ss1)
+        suboff = jnp.where(m2, so2, so1)
+        sub_len = jnp.where(m2, sl2, sl1)
+        d_pos = jnp.where(m2, d_m[:, None], d_row)       # (N, n)
+    else:
+        is_match, sub_start, suboff, sub_len = _segment(eq, 3, idx)
+        d_pos = jnp.broadcast_to(d_row, (N, n))
+
+    far = is_match & (d_pos > 8191)              # 31/255 escape + 2 bytes
     v = sub_len - 3                              # wire len field: mlen = v + 3
     kext = jnp.where(v >= 6, (v - 6) // 255 + 1, 0)      # extension bytes
-    tok_size = 2 + kext                          # tok0 + ext... + dist_lo
+    tok_size = 2 + kext + 2 * far.astype(I32)    # tok0 + ext... + dist bytes
 
     # -- literal segmentation -------------------------------------------------
     lit = ~is_match
@@ -326,19 +431,27 @@ def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array):
 
     # -- emission: one full lane + a 4:1-compacted side lane, one sort -------
     # Token bytes ride lane 0 of consecutive match positions (a match is
-    # >= 3 long, and tok_size > 2 implies sub_len >= 9, so position u
-    # exists for every byte u < tok_size). Lane 1 is then used ONLY at
-    # control positions, which are provably >= 4 apart (a stretch start
-    # follows at least a 3-byte match plus one literal), so lane 1
-    # compacts 4:1 with a group-min — the sort shrinks from 2n to 1.25n.
-    dm1 = d_row - 1
-    dhi, dlo = dm1 >> 8, dm1 & 255
+    # >= 3 long — tok_size > 2 implies sub_len >= 9 for the static class
+    # and mined subs are >= _MINRUN_MINED — so position u exists for
+    # every byte u < tok_size). Lane 1 is then used ONLY at control
+    # positions, which are provably >= 4 apart (a stretch start follows
+    # at least a 3-byte match plus one literal), so lane 1 compacts 4:1
+    # with a group-min — the sort shrinks from 2n to 1.25n.
+    dm1 = d_pos - 1
+    # far form (d > 8191): dhi/dlo carry the 31/255 escape and the
+    # distance rides two trailing bytes (blosclz.c:733-744)
+    dhi = jnp.where(far, 31, dm1 >> 8)
+    dlo = jnp.where(far, 255, dm1 & 255)
+    fdist = d_pos - 8192
     tok0 = jnp.where(v < 6, (v + 1) << 5, 7 << 5) | dhi
 
     def tokbyte(j):
-        """j-th token byte (0-based): tok0, ext bytes, then dist_lo."""
+        """j-th token byte (0-based): tok0, ext bytes, dist_lo, then —
+        far matches only — the two far-distance bytes."""
         ext = jnp.clip(v - 6 - 255 * (j - 1), 0, 255)
-        return jnp.where(j == 0, tok0, jnp.where(kext >= j, ext, dlo))
+        tail = jnp.where(j == kext + 1, dlo,
+                         jnp.where(j == kext + 2, fdist >> 8, fdist & 255))
+        return jnp.where(j == 0, tok0, jnp.where(kext >= j, ext, tail))
 
     tokbase = jnp.where(sub_start, off, off - tok_size)
     si = s.astype(I32)

@@ -50,13 +50,20 @@ _ENCODE_GROUP_BYTES = 64 << 20
 
 
 def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
-                    min_cratio_x100: int = 0):
+                    min_cratio_x100: int = 0, mine: bool = False):
     mod = _codec_mod(compcode)
 
-    def enc(x):
-        return mod.encode(x, codec.DISTANCES, min_cratio_x100)
+    if compcode == C.BLOSCLZ:
+        def enc(x):
+            return mod.encode(x, codec.DISTANCES, min_cratio_x100, mine)
+    else:
+        def enc(x):
+            return mod.encode(x, codec.DISTANCES, min_cratio_x100)
     rows, n = streams.shape
-    group = max(_ENCODE_GROUP_BYTES // max(n, 1), 8)
+    # distance mining adds two n-lane sort operands per row; shrink the
+    # group so transient sort workspace stays bounded
+    group_bytes = _ENCODE_GROUP_BYTES // (4 if mine else 1)
+    group = max(group_bytes // max(n, 1), 8)
     if rows <= group:
         return enc(streams)
     pad = (-rows) % group
@@ -70,11 +77,11 @@ def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def compress_blocks(
     blocks: jax.Array, doshuffle: int, typesize: int, nsplits: int,
     min_bytes_per_iter: int = 48, compcode: int = C.BLOSCLZ,
-    min_cratio_x100: int = 0,
+    min_cratio_x100: int = 0, mine: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Filter + encode full blocks on device.
 
@@ -96,7 +103,7 @@ def compress_blocks(
     filtered = filters.apply_filter(doshuffle, typesize, blocks)
     streams = filtered.reshape(nblocks * nsplits, neblock)
     slots, csizes, est_iters = _encode_grouped(streams, compcode,
-                                                min_cratio_x100)
+                                                min_cratio_x100, mine)
     raw = csizes >= neblock
     if min_bytes_per_iter:
         raw |= est_iters > max(neblock // min_bytes_per_iter, 32)

@@ -367,7 +367,9 @@ def _place_and_fill(slots, csizes, recs, rec_valid, dist, uni, ok,
 # Splat fast path: closed-form construction for distance<=1 rows
 # ---------------------------------------------------------------------------
 
-_PREFIX = 128       # splat rows carry their whole stream in this prefix
+_PREFIX = 1024      # splat rows carry their whole stream in this prefix
+                    # (a pure d=1 row at the 128 KB clevel>=5 neblock
+                    # emits ~780 B: 255-extension bytes alone are n/255)
 
 
 def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
@@ -378,13 +380,14 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
     This is the dominant shape for shuffled typed data (constant and
     low-entropy byte planes collapse to one literal + one d=1 run)."""
     N = slots.shape[0]
-    pre = slots[:, :_PREFIX]
-    # a row with csize <= _PREFIX has < _PREFIX//2 records (each consumes
+    prefix = min(_PREFIX, slots.shape[1])    # qualifying csizes <= prefix
+    pre = slots[:, :prefix]
+    # a row with csize <= prefix has < prefix//2 records (each consumes
     # >= 2 compressed bytes), so the record slice below is lossless
-    r = recs[:, : _PREFIX // 2]
-    rv = rec_valid[:, : _PREFIX // 2] & handled[:, None]
+    r = recs[:, : prefix // 2]
+    rv = rec_valid[:, : prefix // 2] & handled[:, None]
     in_lit, dst_p = _lit_geometry(pre, csizes, r, rv, out_len)
-    p = jnp.arange(_PREFIX, dtype=I32)[None, :]
+    p = jnp.arange(prefix, dtype=I32)[None, :]
     live = in_lit & (p < csizes[:, None])
     key = jnp.where(live, (dst_p << 8) | pre.astype(I32), 0)
     base = (jnp.arange(N, dtype=I32) * out_len)[:, None]

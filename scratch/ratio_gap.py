@@ -9,6 +9,11 @@ Run: JAX_PLATFORMS=cpu python scratch/ratio_gap.py
 import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax
+
+# the axon plugin wins platform selection over the env var alone
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 import cblosc_tpu as b
@@ -19,7 +24,7 @@ from cblosc_tpu.format import constants as C
 def host_breakdown(data, clevel=5, typesize=8):
     chunk = b.compress_ctx(clevel, 1, typesize, data, backend="numpy")
     from cblosc_tpu.format import header as H
-    info = H.parse_header(chunk)
+    info = H.ChunkHeader.decode(chunk)
     print(f"host: nbytes={len(data)} csize={len(chunk)} "
           f"ratio={len(data)/len(chunk):.0f}x blocksize={info.blocksize}")
     return chunk
@@ -39,7 +44,8 @@ def device_breakdown(data, clevel=5, typesize=8, blocksize=0):
     slots, csizes = pipeline.compress_blocks(
         arr, 1, typesize, nsplits,
         min_bytes_per_iter=policy.device_min_bytes_per_iter(clevel),
-        min_cratio_x100=policy.device_min_cratio_x100(clevel))
+        min_cratio_x100=policy.device_min_cratio_x100(clevel),
+        mine=policy.device_mine(clevel))
     cs = np.asarray(csizes).reshape(nblocks, nsplits)
     tot = int(cs.sum()) + 4 * cs.size + 16 + 4 * nblocks
     print(f"dev bs={bs>>10}K neblock={bs//nsplits>>10}K: csize={tot} "

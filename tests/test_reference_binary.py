@@ -116,3 +116,13 @@ def test_reference_getitem_parity(ref, rng):
     data = make_buffer(rng, 100_000, 4, "ramp")
     chunk = _ref_compress(ref, b"blosclz", 5, 1, 4, data)
     assert b.getitem(chunk, 1000, 50) == data[4000:4200]
+
+
+def test_reference_reads_far_distance_chunks(ref, rng):
+    """clevel>=5 device chunks carry mined far-distance (> 8191) tokens
+    on shuffled-counter byte planes; the reference binary must decode
+    them bit-exactly (wire grammar blosclz.c:690-744)."""
+    data = make_buffer(rng, 1 << 20, 8, "ramp")
+    chunk = b.compress_ctx(5, 1, 8, data, backend="tpu")
+    assert chunk and len(chunk) < len(data) // 64
+    assert _ref_decompress(ref, chunk, len(data)) == data

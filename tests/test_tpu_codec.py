@@ -171,3 +171,51 @@ def test_entropy_abort_stores_marginal_rows_raw(rng):
     # threshold 100 (clevel 9) keeps whatever compresses at all
     _, cs_cl9, _ = codec.encode(S, codec.DISTANCES, 100)
     assert np.array_equal(np.asarray(cs_cl9[:16]) >= n, m_off >= n)
+
+
+def test_mined_distance_finds_large_periods(rng):
+    """_mine_distance recovers periods the static candidate set cannot
+    reach — the batched analog of the reference hash table
+    (blosclz.c:459-461) — including far-form (> 8191) distances."""
+    n = 65536
+    rows = [
+        (np.arange(n) // 128 % 256).astype(np.uint8),  # staircase, 32768
+        (np.arange(n) % 251).astype(np.uint8),         # prime period
+        rng.integers(0, 256, n, dtype=np.uint8),       # no structure
+        np.zeros(n, np.uint8),                         # runs only
+    ]
+    dm = np.asarray(codec._mine_distance(jnp.asarray(np.stack(rows))))
+    assert dm[0] == 32768
+    assert dm[1] == 251
+    assert dm[2] == 0
+
+
+def test_far_distance_streams_cross_decode(rng):
+    """Mined far-distance (> 8191) emission: device streams must decode
+    bit-exactly on the device decoders, the numpy oracle, and the native
+    C++ engine (wire grammar blosclz.c:690-744)."""
+    n = 65536
+    rows = [
+        (np.arange(n) // 128 % 256).astype(np.uint8),    # one far run
+        (np.arange(n) // 64 % 256).astype(np.uint8),     # period 16384
+        np.tile(rng.integers(0, 256, 9000, np.uint8), 8)[:n],  # 9000 far
+    ]
+    S = np.stack(rows)
+    slots, csizes, _ = codec.encode(jnp.asarray(S), codec.DISTANCES, 0, True)
+    slots_np, cs_np = np.asarray(slots), np.asarray(csizes)
+    assert (cs_np < n).all(), "far matches must compress these rows"
+    # static-only encoding cannot reach these periods
+    _, cs_static, _ = codec.encode(jnp.asarray(S), codec.DISTANCES, 0, False)
+    assert (cs_np < np.asarray(cs_static) * 0.75).all()
+    from cblosc_tpu.tpu import structured
+
+    out, produced, err = structured.decode(slots, csizes, n)
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out), S)
+    for i in range(S.shape[0]):
+        stream = slots_np[i, : cs_np[i]].tobytes()
+        assert lzhost.decompress(stream, n) == S[i].tobytes()
+        if binding.available():
+            got = binding.blosclz_decompress(
+                np.frombuffer(stream, np.uint8), n)
+            assert got == S[i].tobytes()

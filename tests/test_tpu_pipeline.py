@@ -82,11 +82,13 @@ def test_tpu_ratio_close_to_host(rng):
     tpu = b.compress_ctx(5, 1, 8, data, backend="tpu")
     host = b.compress_ctx(5, 1, 8, data, backend="numpy")
     assert tpu and host
-    # fixed-distance matching trails hash-table LZ mainly in token
-    # granularity (SUBMAX sub-matches vs unbounded lengths); it must stay
-    # within ~2.5x of the host encoder on shuffled typed data (the 4 MB
-    # ramp compresses ~276x on device vs ~569x on host today)
-    assert len(tpu) <= len(host) * 2.5
+    # the mined adaptive distance (codec._mine_distance) reaches the
+    # large byte-plane periods a hash table finds (far-distance tokens
+    # included), and the clevel>=5 device geometry matches the host's
+    # 128 KB splits — what remains is token granularity (SUBMAX
+    # sub-matches vs unbounded match lengths): 9056 B device vs 7372 B
+    # host on this workload (1.23x)
+    assert len(tpu) <= len(host) * 1.3
 
 
 @pytest.mark.parametrize("codec_name", ["lz4", "lz4hc"])
