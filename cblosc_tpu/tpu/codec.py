@@ -298,7 +298,13 @@ def encode(
 
     order = jnp.argsort(cls, stable=True)
     inv = jnp.argsort(order)
-    G = min(_PURE_GROUP, 1 << (N.bit_length() - 1))
+    # class-homogeneous groups only pay their own class's cost, so cap
+    # the group byte size: wide rows get small groups (a 4 MB chunk of
+    # 128 KB splits is 32 rows — one big group would mix classes and
+    # drag every pure/hopeless row through mining + the wide sort)
+    gcap = max(8, (4 << 20) // max(n, 1))
+    gcap = 1 << (gcap.bit_length() - 1)
+    G = min(_PURE_GROUP, gcap, 1 << (N.bit_length() - 1))
     pad = (-N) % G
     so = jnp.take(s, order, axis=0)
     eo = jnp.take(eq, order, axis=0)

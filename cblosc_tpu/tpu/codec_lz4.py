@@ -43,9 +43,10 @@ def slot_width(n: int) -> int:
     return n + n // 255 + 16
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def encode(
-    s: jax.Array, dists: tuple = codec.DISTANCES, min_cratio_x100: int = 0
+    s: jax.Array, dists: tuple = codec.DISTANCES, min_cratio_x100: int = 0,
+    mine: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode batched streams into LZ4 block format.
 
@@ -83,7 +84,9 @@ def encode(
         hopeless = 100 * n < min_cratio_x100 * est_csize
         order = jnp.argsort(hopeless, stable=True)
         inv = jnp.argsort(order)
-        G = min(512, 1 << (N.bit_length() - 1))
+        gcap = max(8, (4 << 20) // max(n, 1))   # see codec.encode
+        gcap = 1 << (gcap.bit_length() - 1)
+        G = min(512, gcap, 1 << (N.bit_length() - 1))
         pad = (-N) % G
         so = jnp.take(s, order, axis=0)
         eo = jnp.take(eq0, order, axis=0)
@@ -102,7 +105,7 @@ def encode(
                 jnp.all(hg),
                 lambda _: (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
                            jnp.zeros((G,), I32)),
-                lambda _: _emit(sg, eg, dg),
+                lambda _: _emit(sg, eg, dg, mine),
                 None)
 
         slots, csize, est = jax.lax.map(
@@ -114,38 +117,82 @@ def encode(
         est = jnp.take(est.reshape(-1)[:N], inv)
         csize = jnp.where(hopeless, n, csize)
         return slots, csize, est
-    return _emit(s, eq0, d_row0)
+    return _emit(s, eq0, d_row0, mine)
 
 
-def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array):
-    """LZ4 scan + sort emission."""
-    N, n = s.shape
-    W = slot_width(n)
-    idx = jnp.arange(n, dtype=I32)
+def _segment(eq: jax.Array, min_len, idx: jax.Array, n: int):
+    """LZ4-rule run segmentation with SUBL sub-splitting.
 
-    # -- match segmentation (LZ4 rules) -------------------------------------
-    eq &= idx < n - 5                      # last 5 bytes stay literal
+    Returns per-position (is_match, suboff, sub_len, roff, eff_len).
+    Tails shorter than min_len demote to literals; no sub-match starts
+    in the last 12 bytes (the reference encoder's MFLIMIT rule)."""
     noneq = jnp.where(eq, -1, idx)
     run_start = jax.lax.cummax(noneq, axis=1) + 1
     nxt = jnp.where(eq, n, idx)
     next_noneq = jnp.flip(jax.lax.cummin(jnp.flip(nxt, 1), axis=1), 1)
     runlen = next_noneq - run_start
 
-    is_match = eq & (runlen >= 4)
+    is_match = eq & (runlen >= min_len)
     roff = idx - run_start
     tail_rem = runlen % SUBL
-    short_tail = (tail_rem > 0) & (tail_rem < 4)
+    short_tail = (tail_rem > 0) & (tail_rem < min_len)
     eff_len = jnp.where(short_tail, runlen - tail_rem, runlen)
     is_match &= roff < eff_len
     # no sub-match may START in the last 12 bytes (MFLIMIT)
     is_match &= (idx - (roff % SUBL)) < n - 12
 
     suboff = roff % SUBL
-    sub_start = is_match & (suboff == 0)
     sub_len = jnp.minimum(SUBL, eff_len - (roff - suboff))
+    return is_match, suboff, sub_len, roff, eff_len
+
+
+def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
+          mine: bool = False):
+    """LZ4 scan + sort emission.
+
+    With mine=True, runs at the row's mined adaptive distance
+    (codec._mine_distance, clamped to the 16-bit offset) claim their
+    positions first and the static class fills the rest — same
+    two-class layering as the blosclz encoder."""
+    N, n = s.shape
+    W = slot_width(n)
+    idx = jnp.arange(n, dtype=I32)
+
+    # -- match segmentation (LZ4 rules) -------------------------------------
+    eq &= idx < n - 5                      # last 5 bytes stay literal
+    if mine and n >= 1024:
+        d_m = codec._mine_distance(s)
+        d_m = jnp.where(d_m > 0xFFFF, 0, d_m)        # 16-bit offsets only
+        live_m = (d_m > 0) & (d_m < n) & (d_m != d_row[:, 0])
+        eq_m = codec._eq_at(s, d_m) & live_m[:, None]
+        eq_m &= idx < n - 5
+        m2, so2, sl2, ro2, el2 = _segment(
+            eq_m, jnp.int32(codec._MINRUN_MINED)[None, None], idx, n)
+        m1, so1, sl1, ro1, el1 = _segment(eq & ~m2, 4, idx, n)
+        is_match = m1 | m2
+        suboff = jnp.where(m2, so2, so1)
+        sub_len = jnp.where(m2, sl2, sl1)
+        roff = jnp.where(m2, ro2, ro1)
+        eff_len = jnp.where(m2, el2, el1)
+        d_pos = jnp.where(m2, d_m[:, None], d_row)
+    else:
+        is_match, suboff, sub_len, roff, eff_len = _segment(eq, 4, idx, n)
+        d_pos = jnp.broadcast_to(d_row, (N, n))
+
+    sub_start = is_match & (suboff == 0)
     ml = sub_len - 4                       # token match nibble basis
     km = jnp.where(ml >= 15, (ml - 15) // 255 + 1, 0)
-    later = is_match & (roff - suboff > 0)  # sub-match with its own token
+    # a sub-match carries its own zero-literal token when it is not the
+    # first sub of its run OR when its run starts directly after another
+    # match run (possible only with two classes: a mined run can abut a
+    # static run with no literal between — the preceding stretch's token
+    # then belongs to the earlier run)
+    prev_m = jnp.concatenate(
+        [jnp.zeros((N, 1), bool), is_match[:, :-1]], axis=1)
+    seedv = jnp.where((roff == 0) & is_match,
+                      (idx << 1) | prev_m.astype(I32), -1)
+    run_adj = is_match & ((jax.lax.cummax(seedv, axis=1) & 1) == 1)
+    later = is_match & ((roff - suboff > 0) | run_adj)
 
     # -- literal stretches ---------------------------------------------------
     lit = ~is_match
@@ -198,8 +245,8 @@ def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array):
         has_follow, jnp.minimum(jnp.maximum(next_ml, 0), 15), 0)
     data_dst = off_s + 1 + kl + lit_off
 
-    dlo = d_row & 255
-    dhi = d_row >> 8
+    dlo = d_pos & 255
+    dhi = d_pos >> 8
     tok_m = jnp.minimum(ml, 15)            # zero-literal sequence token
 
     # byte j of a sub-match train; layout [token?][off_lo][off_hi][ext...]

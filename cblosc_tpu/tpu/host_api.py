@@ -74,7 +74,7 @@ def compress_chunk(ctx, data: bytes) -> bytes | None:
         x, ctx.doshuffle, ctx.typesize, nsplits,
         policy.device_min_bytes_per_iter(ctx.clevel), ctx.compcode,
         policy.device_min_cratio_x100(ctx.clevel),
-        policy.device_mine(ctx.clevel) if ctx.compcode == C.BLOSCLZ else False,
+        policy.device_mine(ctx.clevel),
     )
     slots = np.asarray(slots)
     csizes = np.asarray(csizes)

@@ -53,12 +53,8 @@ def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
                     min_cratio_x100: int = 0, mine: bool = False):
     mod = _codec_mod(compcode)
 
-    if compcode == C.BLOSCLZ:
-        def enc(x):
-            return mod.encode(x, codec.DISTANCES, min_cratio_x100, mine)
-    else:
-        def enc(x):
-            return mod.encode(x, codec.DISTANCES, min_cratio_x100)
+    def enc(x):
+        return mod.encode(x, codec.DISTANCES, min_cratio_x100, mine)
     rows, n = streams.shape
     # distance mining adds two n-lane sort operands per row; shrink the
     # group so transient sort workspace stays bounded

@@ -78,3 +78,30 @@ def test_lz4_format_rules(rng):
     stream = slots[0, : csizes[0]].tobytes()
     # last sequence: token with zero match nibble consumed at stream end
     assert lz4host.decompress(stream, 4096) == S[0].tobytes()
+
+
+def test_lz4_mined_distance_streams_cross_decode(rng):
+    """Mined adaptive distances in the LZ4 encoder (16-bit offsets, no
+    far escape needed): streams must stay valid LZ4 blocks — including
+    the two-class adjacency case where a mined run abuts a static run
+    and the first sub-match must carry its own zero-literal token."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cblosc_tpu.tpu import codec, codec_lz4
+    from cblosc_tpu.ops.codecs import lz4 as lz4host
+
+    n = 65536
+    rows = [
+        (np.arange(n) // 128 % 256).astype(np.uint8),   # staircase 32768
+        (np.arange(n) % 251).astype(np.uint8),          # prime period
+        np.tile(rng.integers(0, 256, 9000, np.uint8), 8)[:n],
+    ]
+    S = np.stack(rows)
+    sl, cs, _ = codec_lz4.encode(jnp.asarray(S), codec.DISTANCES, 0, True)
+    _, cs0, _ = codec_lz4.encode(jnp.asarray(S), codec.DISTANCES, 0, False)
+    cs, cs0 = np.asarray(cs), np.asarray(cs0)
+    assert (cs < n).all()
+    assert (cs < cs0 * 0.75).all()
+    for i in range(S.shape[0]):
+        stream = np.asarray(sl[i, :cs[i]]).tobytes()
+        assert lz4host.decompress(stream, n) == S[i].tobytes(), i
