@@ -22,15 +22,16 @@ blosc/blosclz.c:679-789):
     the serialized stream directly. On TPU this is ~35x faster than
     scatter (XLA TPU scatter costs ~7ns per index element; a 64 MB
     row-sort costs ~112 ms).
-  * Long matches split into sub-matches of <= SUBMAX bytes (at most 4
-    length-extension bytes); all candidate distances are < 8192 so the
-    far-distance escape is never needed.
+  * A maximal run is ONE match token — 255-extension bytes make the
+    length unbounded (blosclz.c:698-706), matching the reference
+    encoder's token granularity. Static candidate distances are < 8192;
+    mined adaptive distances above that emit the far-distance escape.
 
 The decoder accepts ANY blosclz stream (reference-produced included). It
 is a vmapped ``lax.while_loop`` state machine tuned so well-formed
 streams need ~one iteration per token:
 
-  * match copies fill up to SUBMAX bytes per iteration: distance-1 runs
+  * match copies fill up to _MATW bytes per iteration: distance-1 runs
     splat in one step; back >= chunk copies directly; small periods use
     two doubling steps and then PROMOTE the period (once 4*back bytes
     are written, 4*back is itself a valid distance), so even period-2
@@ -55,13 +56,12 @@ import jax.numpy as jnp
 I32 = jnp.int32
 U8 = jnp.uint8
 
-SUBMAX = 1024         # max bytes decoded per emitted match token
 _LITW = 32            # slow-path literal window (a literal chunk is <= 32 B)
 _FASTLIT = 16         # literal cells decoded per fast-path iteration
 _FASTB = _FASTLIT * 32
 _MATW = 1024          # match copy window: vmapped dynamic ops cost ~2us
                       # per row per CALL (size-independent), so wide
-                      # windows are free — one iteration per SUBMAX match
+                      # windows are free — one iteration per _MATW copied bytes
 
 # Candidate match distances: 1 catches constant runs, powers of two catch
 # arithmetic ramps (a step-s byte plane repeats with period 256/gcd(s,256))
@@ -127,27 +127,22 @@ def _score(s: jax.Array, dists: tuple):
 
 def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
     """Closed-form emission for pure rows: one literal prefix of d
-    bytes, SUBMAX matches covering [d, d+eff), a 1-3 byte literal tail.
-    Byte-identical to the sort path on pure rows (asserted by
-    tests/test_tpu_codec.py) at a fraction of its cost — no scans, no
-    sort, one pass over a <=2 KB buffer."""
+    bytes, ONE match token covering [d, n-1) (255-extension bytes make
+    the match length unbounded, blosclz.c:698-706 — same as the
+    reference encoder), a 1-byte literal tail. Byte-identical to the
+    sort path on pure rows (asserted by tests/test_tpu_codec.py) at a
+    fraction of its cost — no scans, no sort, one pass over a <=2 KB
+    buffer."""
     G, n = s.shape
     PW = min(W, 2048)
     d = d_vec.reshape(-1, 1)                # (G,1)
-    rl = n - 1 - d
-    tail = rl % SUBMAX
-    short = (tail > 0) & (tail < 3)
-    eff = rl - jnp.where(short, tail, 0)
-    lit2 = n - d - eff                      # 1..3 trailing literal bytes
-    mf = eff // SUBMAX                      # full sub-matches (v=1021)
-    pr = eff % SUBMAX                       # partial sub length (0 or >=3)
+    eff = n - 1 - d                         # the single run, >= 3 (pure)
+    vp = eff - 3
+    kp = jnp.where(vp >= 6, (vp - 6) // 255 + 1, 0)
     nc1 = (d + 31) // 32
     E1 = d + nc1
-    vp = pr - 3
-    kp = jnp.where(vp >= 6, (vp - 6) // 255 + 1, 0)
-    tp = jnp.where(pr > 0, 2 + kp, 0)
-    E2 = E1 + 6 * mf + tp
-    csize = (E2 + 1 + lit2)[:, 0]
+    E2 = E1 + 2 + kp                        # tok0 + ext... + dist_lo
+    csize = (E2 + 2)[:, 0]                  # + tail ctrl + last byte
 
     dm1 = d - 1
     dhi, dlo = dm1 >> 8, dm1 & 255
@@ -164,37 +159,24 @@ def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
     lit1 = jnp.take(s, src1, axis=1).astype(I32)
     b1 = jnp.where(isc1, clen1 - 1, lit1)
 
-    # region 2: tokens — mf full 6-byte tokens then one partial token
+    # region 2: the single token — tok0, kp extension bytes, dist_lo
     q = p - E1
-    o_full = q % 6
-    fullext = jnp.asarray([0, 255, 255, 255, 250, 0], I32)[
-        jnp.clip(o_full, 0, 5)]
-    b_full = jnp.where(o_full == 0, (7 << 5) | dhi,
-                       jnp.where(o_full == 5, dlo, fullext))
-    o_p = q - 6 * mf
     tok0p = (jnp.where(vp < 6, (vp + 1) << 5, 7 << 5)) | dhi
-    extp = jnp.clip(vp - 6 - 255 * (o_p - 1), 0, 255)
-    b_part = jnp.where(o_p == 0, tok0p,
-                       jnp.where(o_p <= kp, extp, dlo))
-    b2 = jnp.where(q < 6 * mf, b_full, b_part)
+    extp = jnp.clip(vp - 6 - 255 * (q - 1), 0, 255)
+    b2 = jnp.where(q == 0, tok0p, jnp.where(q <= kp, extp, dlo))
 
-    # region 3: trailing ctrl + last literal bytes (static last-3 slice)
-    j2 = p - E2 - 1 + (3 - lit2)
-    last3 = s[:, n - 3:n].astype(I32)
-    b3 = jnp.where(p == E2, lit2 - 1,
-                   jnp.where(j2 <= 0, last3[:, 0:1],
-                             jnp.where(j2 == 1, last3[:, 1:2],
-                                       last3[:, 2:3])))
+    # region 3: trailing ctrl (one literal) + the last byte
+    b3 = jnp.where(p == E2, 0, s[:, n - 1:n].astype(I32))
 
     out = jnp.where(p < E1, b1, jnp.where(p < E2, b2, b3))
     out = jnp.where(p < csize[:, None], out, 0)
     out = out.at[:, 0].set(out[:, 0] | 32)               # format marker bit
     slots = jnp.pad(out.astype(U8), ((0, 0), (0, W - PW)))
 
-    ntok = (mf + (pr > 0))[:, 0]
     npart = ((d[:, 0] % 32 > 0).astype(I32) + 1)
     nfull = d[:, 0] // 32
-    est = ntok + npart + nfull // _FASTLIT + 8
+    copy_iters = ((eff - 1) // _MATW + kp // 8)[:, 0]
+    est = 1 + npart + nfull // _FASTLIT + copy_iters + 8
     return slots, csize, est
 
 
@@ -347,11 +329,13 @@ def encode(
 
 
 def _segment(eq: jax.Array, min_len, idx: jax.Array):
-    """Run segmentation of an eq mask with SUBMAX sub-splitting.
+    """Run segmentation of an eq mask: one token per maximal run.
 
-    Returns (is_match, sub_start, suboff, sub_len) — per-position; tails
-    shorter than min_len (per-row or scalar) demote to literals so every
-    emitted sub-match satisfies the wire minimum."""
+    Returns (is_match, sub_start, suboff, sub_len) — per-position. The
+    255-extension length encoding is unbounded (blosclz.c:698-706), so
+    a run of any length is ONE match token — same as the reference
+    encoder. min_len (per-row or scalar) demotes short runs to
+    literals."""
     n = eq.shape[1]
     noneq = jnp.where(eq, -1, idx)
     run_start = jax.lax.cummax(noneq, axis=1) + 1
@@ -360,17 +344,9 @@ def _segment(eq: jax.Array, min_len, idx: jax.Array):
     runlen = next_noneq - run_start              # maximal run length at eq pos
 
     is_match = eq & (runlen >= min_len)
-    # demote too-short tails of long runs (SUBMAX split remainder)
-    roff = idx - run_start
-    tail_rem = runlen % SUBMAX
-    short_tail = (tail_rem > 0) & (tail_rem < min_len)
-    eff_len = jnp.where(short_tail, runlen - tail_rem, runlen)
-    is_match &= roff < eff_len
-
-    suboff = roff % SUBMAX
+    suboff = idx - run_start
     sub_start = is_match & (suboff == 0)
-    sub_len = jnp.minimum(SUBMAX, eff_len - (roff - suboff))
-    return is_match, sub_start, suboff, sub_len
+    return is_match, sub_start, suboff, runlen
 
 
 def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array,
@@ -427,13 +403,16 @@ def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array,
     off = jnp.cumsum(c, axis=1) - c
     csize = off[:, -1] + c[:, -1]
 
-    # decoder-iteration estimate: one per match token, one per 8 full
-    # literal cells (fast path), one per partial chunk
+    # decoder-iteration estimate: one per match token plus one per
+    # _MATW copied bytes and 8 parsed extension bytes (long matches),
+    # one per 8 full literal cells (fast path), one per partial chunk
     full31 = is_ctrl & (chunk_len == 32)
     nfull = jnp.sum(full31.astype(I32), axis=1)
     npart = jnp.sum((is_ctrl & ~full31).astype(I32), axis=1)
     ntok = jnp.sum(sub_start.astype(I32), axis=1)
-    est_iters = ntok + npart + nfull // _FASTLIT + 8
+    copy_iters = jnp.sum(
+        jnp.where(sub_start, (sub_len - 1) // _MATW + kext // 8, 0), axis=1)
+    est_iters = ntok + npart + nfull // _FASTLIT + copy_iters + 8
 
     # -- emission: one full lane + a 4:1-compacted side lane, one sort -------
     # Token bytes ride lane 0 of consecutive match positions (a match is

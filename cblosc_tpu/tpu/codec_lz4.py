@@ -13,8 +13,8 @@ bytes, literals, 2-byte LE offset):
     reverse fill) and long matches continue as zero-literal sequences;
   * format guard rails: matches are >= 4 bytes, never start in the last
     12 bytes, never extend into the last 5 (the reference encoder's
-    MFLIMIT/lastLiterals rules), and sub-matches cap at SUBL so a
-    sequence needs at most 4 length-extension bytes;
+    MFLIMIT/lastLiterals rules), and a maximal run is ONE sequence —
+    255-extension bytes make the match length unbounded;
   * decoding walks sequences into records (parse-only loop, one window
     read + one record write per iteration) and reuses the structured
     placement machine (sort + residue fills). Streams the walk cannot
@@ -34,7 +34,6 @@ from . import codec, structured
 I32 = jnp.int32
 U8 = jnp.uint8
 
-SUBL = 1024                    # max match bytes per emitted sequence
 MAX_OUT = structured.MAX_OUT
 
 
@@ -121,11 +120,13 @@ def encode(
 
 
 def _segment(eq: jax.Array, min_len, idx: jax.Array, n: int):
-    """LZ4-rule run segmentation with SUBL sub-splitting.
+    """LZ4-rule run segmentation: one sequence per maximal run.
 
     Returns per-position (is_match, suboff, sub_len, roff, eff_len).
-    Tails shorter than min_len demote to literals; no sub-match starts
-    in the last 12 bytes (the reference encoder's MFLIMIT rule)."""
+    The 255-extension match-length encoding is unbounded, so a run of
+    any length is ONE sequence (the reference encoder's granularity).
+    Runs shorter than min_len demote to literals; no match may START in
+    the last 12 bytes (the MFLIMIT rule)."""
     noneq = jnp.where(eq, -1, idx)
     run_start = jax.lax.cummax(noneq, axis=1) + 1
     nxt = jnp.where(eq, n, idx)
@@ -133,17 +134,9 @@ def _segment(eq: jax.Array, min_len, idx: jax.Array, n: int):
     runlen = next_noneq - run_start
 
     is_match = eq & (runlen >= min_len)
+    is_match &= run_start < n - 12         # MFLIMIT
     roff = idx - run_start
-    tail_rem = runlen % SUBL
-    short_tail = (tail_rem > 0) & (tail_rem < min_len)
-    eff_len = jnp.where(short_tail, runlen - tail_rem, runlen)
-    is_match &= roff < eff_len
-    # no sub-match may START in the last 12 bytes (MFLIMIT)
-    is_match &= (idx - (roff % SUBL)) < n - 12
-
-    suboff = roff % SUBL
-    sub_len = jnp.minimum(SUBL, eff_len - (roff - suboff))
-    return is_match, suboff, sub_len, roff, eff_len
+    return is_match, roff, runlen, roff, runlen
 
 
 def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
@@ -205,13 +198,14 @@ def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
     kl = jnp.where(L >= 15, (L - 15) // 255 + 1, 0)
     is_start = lit & (lit_off == 0)
 
-    # the stretch's token needs the FOLLOWING first sub-match's ml nibble:
-    # reverse-fill first-sub ml from run starts back to literal positions
-    firstml = jnp.minimum(SUBL, eff_len) - 4
+    # the stretch's token needs the FOLLOWING match's ml nibble: reverse-
+    # fill min(ml, 15) from run starts back to literal positions (only
+    # the 4-bit nibble travels — the extension bytes ride the train)
+    firstml = jnp.minimum(eff_len - 4, 15)
     seed = jnp.where(is_match & (roff == 0),
-                     ((n - idx) << 11) | (firstml + 1), 0)
+                     ((n - idx) << 5) | (firstml + 1), 0)
     rfill = jnp.flip(jax.lax.cummax(jnp.flip(seed, 1), axis=1), 1)
-    next_ml = (rfill & 0x7FF) - 1          # -1: no following match
+    next_ml = (rfill & 0x1F) - 1           # -1: no following match
     has_follow = next_ml >= 0
 
     # -- per-position output contributions ----------------------------------
@@ -226,7 +220,10 @@ def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
     csize = off[:, -1] + c[:, -1]
 
     nseq = jnp.sum(sub_start.astype(I32) + is_start.astype(I32), axis=1)
-    est_iters = nseq + 8
+    # long sequences pay extra walk steps: one per 8 extension bytes
+    ext_steps = jnp.sum(jnp.where(sub_start, km // 8, 0)
+                        + jnp.where(is_start, kl // 8, 0), axis=1)
+    est_iters = nseq + ext_steps + 8
 
     # -- emission: one full lane + a 4:1-compacted side lane ------------------
     # Match-train bytes ride lane 0 of consecutive match positions (a
@@ -292,7 +289,7 @@ def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
 # ---------------------------------------------------------------------------
 
 def max_records(out_len: int) -> int:
-    """Our streams carry ~one sequence per SUBL match or per literal
+    """Our streams carry ~one sequence per match run or literal
     stretch; foreign token-dense streams overflow and fall back."""
     return out_len // 16 + 32
 

@@ -72,7 +72,7 @@ def profile(N, n, label):
         runlen = next_noneq - run_start
         is_match = eq & (runlen >= 3)
         roff = idx - run_start
-        tail_rem = runlen % codec.SUBMAX
+        tail_rem = runlen % 1024
         short_tail = (tail_rem > 0) & (tail_rem < 3)
         eff_len = jnp.where(short_tail, runlen - tail_rem, runlen)
         is_match &= roff < eff_len

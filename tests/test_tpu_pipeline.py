@@ -84,11 +84,11 @@ def test_tpu_ratio_close_to_host(rng):
     assert tpu and host
     # the mined adaptive distance (codec._mine_distance) reaches the
     # large byte-plane periods a hash table finds (far-distance tokens
-    # included), and the clevel>=5 device geometry matches the host's
-    # 128 KB splits — what remains is token granularity (SUBMAX
-    # sub-matches vs unbounded match lengths): 9056 B device vs 7372 B
-    # host on this workload (1.23x)
-    assert len(tpu) <= len(host) * 1.3
+    # included), the clevel>=5 device geometry matches the host's
+    # 128 KB splits, and a maximal run is one unbounded-length token —
+    # so the device encoder now BEATS the host hash-table encoder on
+    # this workload: 6804 B device vs 7372 B host (0.92x)
+    assert len(tpu) <= len(host)
 
 
 @pytest.mark.parametrize("codec_name", ["lz4", "lz4hc"])
