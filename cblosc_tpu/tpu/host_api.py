@@ -7,12 +7,14 @@ host engine; the serialized result is byte-for-byte a conforming chunk
 (README_CHUNK_FORMAT.rst) that any reader — including the reference C
 library — decodes.
 
-BloscLZ and LZ4/LZ4HC have device codecs; other compcodes return None
+BloscLZ and LZ4/LZ4HC have device codecs; snappy additionally has a
+device decoder (tpu/codec_snappy.py — encoding stays host-side, as the
+reference's external-library wrappers did); other compcodes return None
 here and the backend router falls back to the native/numpy engines
 (cblosc_tpu.core.backend). With the Pallas expand kernel (TPU default)
-mixed-distance foreign streams — host/reference blosclz and any LZ4
-block — decode on device; only record-overflow geometries (token-dense
-beyond max_records) fall back.
+mixed-distance foreign streams — host/reference blosclz, any LZ4 block,
+any snappy stream — decode on device; only record-overflow geometries
+(token-dense beyond max_records) fall back.
 
 For data that already lives on device (the TPU-native use case: compress
 before a DCN transfer or a checkpoint write), use cblosc_tpu.tpu.pipeline
@@ -127,7 +129,7 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
 
     chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
     hdr = ChunkHeader.decode(chunk_bytes)
-    if (hdr.memcpyed or hdr.compcode not in pipeline.DEVICE_CODECS
+    if (hdr.memcpyed or hdr.compcode not in pipeline.DEVICE_DECODE_CODECS
             or hdr.nbytes == 0):
         return None
     ts = hdr.typesize
@@ -203,7 +205,7 @@ def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
     validate_header(hdr, destsize)
     if hdr.nbytes == 0:
         return b""
-    if hdr.memcpyed or hdr.compcode not in pipeline.DEVICE_CODECS:
+    if hdr.memcpyed or hdr.compcode not in pipeline.DEVICE_DECODE_CODECS:
         return None
     nblocks, leftover = hdr.nblocks, hdr.leftover
     nfull = nblocks - (1 if leftover else 0)

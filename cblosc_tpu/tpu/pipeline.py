@@ -37,6 +37,10 @@ U8 = jnp.uint8
 
 # compcodes with a device codec (LZ4HC chunks carry the LZ4 wire format)
 DEVICE_CODECS = (C.BLOSCLZ, C.LZ4, C.LZ4HC)
+# decode-side coverage is wider: snappy decodes on device via the shared
+# record machinery (tpu/codec_snappy.py); encoding stays on the host
+# engines, as in the reference (external-library wrappers, blosc.c:443-467)
+DEVICE_DECODE_CODECS = DEVICE_CODECS + (C.SNAPPY,)
 
 
 def _codec_mod(compcode: int):
@@ -130,9 +134,14 @@ def decompress_blocks(
     # the structured decoder fast-paths uniform-distance streams and falls
     # back to the loop decoder per row otherwise. Row groups bound the
     # sort/fill workspace on large batches (as in _encode_grouped).
-    from . import structured
+    from . import codec_snappy, structured
 
-    dec = (structured.decode if compcode == C.BLOSCLZ else codec_lz4.decode)
+    if compcode == C.BLOSCLZ:
+        dec = structured.decode
+    elif compcode == C.SNAPPY:
+        dec = codec_snappy.decode
+    else:
+        dec = codec_lz4.decode
     dec_cs = jnp.where(raw, 0, csizes)
     rows, _ = slots.shape
     group = max(_ENCODE_GROUP_BYTES // max(neblock, 1), 8)
