@@ -289,9 +289,12 @@ def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
 # ---------------------------------------------------------------------------
 
 def max_records(out_len: int) -> int:
-    """Our streams carry ~one sequence per match run or literal
-    stretch; foreign token-dense streams overflow and fall back."""
-    return out_len // 16 + 32
+    """Default walk budget in record slots (one consumed per parse step,
+    incl. window-edge stalls — see structured.max_records). Our streams
+    carry ~one sequence per match run or literal stretch; foreign
+    token-dense streams overflow, and the byte API retries with
+    structured.high_records before any host fallback."""
+    return out_len // 16 + out_len // 64 + 32
 
 
 def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
@@ -458,22 +461,24 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     return recs, dist, uni, ok
 
 
-@partial(jax.jit, static_argnums=2)
-def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
+           maxrec_hint: int = 0):
     """Decode batched LZ4 blocks via the structured machine.
 
     Rows the walk cannot handle report err=True (the caller falls back
     to a host engine for the whole chunk). Returns (out, produced, err).
+    maxrec_hint overrides the record budget (see structured.decode).
     """
     N, W = slots.shape
     if out_len > MAX_OUT or out_len < 8:
         return (jnp.zeros((N, out_len), U8),
                 jnp.zeros((N,), I32),
                 csizes > 0)
-    maxrec = max_records(out_len)
+    maxrec = maxrec_hint or max_records(out_len)
     Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
     slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
-    group = structured._group_rows(out_len)
+    group = structured._group_rows(out_len, maxrec)
 
     kernel_place = structured.use_expand_kernel()
 

@@ -44,13 +44,15 @@ MAX_OUT = structured.MAX_OUT
 
 
 def max_records(out_len: int) -> int:
-    """Copies carry <= 64 bytes each and hash-table snappy encoders emit
-    matches as short as 4 bytes with literal fragments between (the
-    oracle's own output on near-random data runs one record per ~4.5
-    output bytes), so the budget is a quarter of the output size.
-    Adversarial token-denser streams overflow and fall back to the host
-    engines."""
-    return out_len // 4 + 32
+    """Default walk budget in record slots (one consumed per parse step,
+    incl. window-edge stalls — see structured.max_records). Copies carry
+    <= 64 bytes each and hash-table snappy encoders emit matches as
+    short as 4 bytes with literal fragments between (the oracle's own
+    output on near-random data runs one record per ~4.5 output bytes),
+    so the default is a quarter of the output size plus the stall
+    margin. Denser streams overflow; the byte API retries with
+    structured.high_records before any host fallback."""
+    return out_len // 4 + out_len // 64 + 32
 
 
 def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
@@ -194,23 +196,25 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     return recs, dist, uni, ok
 
 
-@partial(jax.jit, static_argnums=2)
-def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
+           maxrec_hint: int = 0):
     """Decode batched snappy streams via the structured machine.
 
     Rows the walk cannot handle report err=True (the caller falls back
     to a host engine for the whole chunk). Returns (out, produced, err)
-    with codec.decode semantics.
+    with codec.decode semantics. maxrec_hint overrides the record budget
+    (see structured.decode).
     """
     N, W = slots.shape
     if out_len > MAX_OUT or out_len < 8:
         return (jnp.zeros((N, out_len), U8),
                 jnp.zeros((N,), I32),
                 csizes > 0)
-    maxrec = max_records(out_len)
+    maxrec = maxrec_hint or max_records(out_len)
     Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
     slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
-    group = structured._group_rows(out_len)
+    group = structured._group_rows(out_len, maxrec)
 
     kernel_place = structured.use_expand_kernel()
 

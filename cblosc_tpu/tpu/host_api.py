@@ -121,6 +121,22 @@ def _fallback_memcpy(ctx, src: np.ndarray) -> bytes:
     return b""
 
 
+def _escalated_budget(neblock: int, compcode: int) -> int:
+    """Retry record budget for token-dense foreign chunks (short matches
+    every few bytes, e.g. reference-encoded text). The default budget is
+    sized for well-behaved streams; a chunk that overflows it reports
+    err, and the caller retries ONCE with this budget before falling
+    back to a host engine — only such chunks pay the second (lazily
+    compiled) pass, and an insufficient budget only ever costs the
+    fallback, never correctness. BloscLZ needs no retry: its overflow
+    rows decode on-device through the generic loop decoder."""
+    if compcode == C.BLOSCLZ:
+        return 0
+    from . import structured
+
+    return structured.high_records(neblock)
+
+
 def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
     """Partial decompression on device (blosc_getitem, blosc.c:1574-1703):
     only the blocks overlapping [start, start+nitems) items are decoded.
@@ -179,9 +195,16 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
         hdr.compcode,
     )
     if bool(np.asarray(err).any()):
-        if hdr.compcode != C.BLOSCLZ:
-            return None     # foreign LZ4 geometry: host engines decode it
-        raise FormatError("corrupt blosclz stream (device getitem)")
+        hi = _escalated_budget(neblock, hdr.compcode)
+        if hi:              # token-dense streams: one widened-budget retry
+            blocks, err = pipeline.decompress_blocks(
+                rows, jnp.asarray(csizes), neblock, doshuffle,
+                hdr.typesize, nsplits, hdr.compcode, hi,
+            )
+        if bool(np.asarray(err).any()):
+            if hdr.compcode != C.BLOSCLZ:
+                return None  # foreign geometry: host engines decode it
+            raise FormatError("corrupt blosclz stream (device getitem)")
     out = np.asarray(blocks).reshape(-1)
 
     if b1 > b1_dev:                      # leftover block overlaps the range
@@ -248,9 +271,16 @@ def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
         hdr.compcode,
     )
     if bool(np.asarray(err).any()):
-        if hdr.compcode != C.BLOSCLZ:
-            return None     # foreign LZ4 geometry: host engines decode it
-        raise FormatError("corrupt blosclz stream (device decode)")
+        hi = _escalated_budget(neblock, hdr.compcode)
+        if hi:              # token-dense streams: one widened-budget retry
+            blocks, err = pipeline.decompress_blocks(
+                rows, jnp.asarray(csizes), neblock, doshuffle,
+                hdr.typesize, nsplits, hdr.compcode, hi,
+            )
+        if bool(np.asarray(err).any()):
+            if hdr.compcode != C.BLOSCLZ:
+                return None  # foreign geometry: host engines decode it
+            raise FormatError("corrupt blosclz stream (device decode)")
     out = np.asarray(blocks).reshape(-1)
 
     if leftover:

@@ -113,7 +113,7 @@ def compress_blocks(
     return slots, csizes
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def decompress_blocks(
     slots: jax.Array,
     csizes: jax.Array,
@@ -122,12 +122,15 @@ def decompress_blocks(
     typesize: int,
     nsplits: int,
     compcode: int = C.BLOSCLZ,
+    maxrec_hint: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode + unfilter full blocks on device.
 
     slots: uint8 (nblocks*nsplits, W), each row a blosclz stream (or raw
     bytes when csize == neblock), zero-padded past its csize.
     Returns (blocks uint8 (nblocks, nsplits*neblock), err bool (rows,)).
+    maxrec_hint widens the walk record budget for token-dense chunks
+    (host_api._record_budget derives it from the csizes).
     """
     raw = csizes >= neblock
     # stored-raw rows skip the token decoder entirely (csize 0 => finished);
@@ -137,11 +140,14 @@ def decompress_blocks(
     from . import codec_snappy, structured
 
     if compcode == C.BLOSCLZ:
-        dec = structured.decode
+        dec0 = structured.decode
     elif compcode == C.SNAPPY:
-        dec = codec_snappy.decode
+        dec0 = codec_snappy.decode
     else:
-        dec = codec_lz4.decode
+        dec0 = codec_lz4.decode
+
+    def dec(sl, cs, n):
+        return dec0(sl, cs, n, maxrec_hint)
     dec_cs = jnp.where(raw, 0, csizes)
     rows, _ = slots.shape
     group = max(_ENCODE_GROUP_BYTES // max(neblock, 1), 8)

@@ -62,8 +62,27 @@ _BIGI = jnp.int32(0x7FFFFFFF)
 
 
 def max_records(out_len: int) -> int:
-    """Worst case: one record per 32-byte literal chunk plus slack."""
-    return out_len // 32 + 24
+    """Default walk budget in record SLOTS. A slot is consumed per parse
+    STEP, valid record or not — stalled steps at window edges (up to
+    _T-1 per 462-byte window advance) burn slots too — so the budget is
+    one slot per 32-byte literal chunk plus the stall margin. Covers
+    every stream our encoder emits (near-raw streams are stored raw by
+    the csize/est-iters policies) and typical reference streams;
+    token-dense foreign chunks overflow and the byte API retries once
+    with high_records."""
+    return out_len // 32 + out_len // 64 + 24
+
+
+def high_records(out_len: int) -> int:
+    """Escalated budget for token-dense streams. Worst conforming case:
+    every parse step consumes >= 2 compressed bytes in all three
+    grammars (blosclz literal chunk = ctrl + data, match token >= 2 B;
+    LZ4 token and offset phases >= 2 B each; snappy tags >= 2 B) and a
+    split's stream is < out_len (stored raw otherwise), so steps <=
+    out_len/2 plus the window-stall margin (~out_len/66). Sufficient for
+    ANY conforming stream — after this budget, err means corrupt or
+    unplaceable, not under-budgeted."""
+    return (out_len * 9) // 16 + 64
 
 
 # ---------------------------------------------------------------------------
@@ -421,8 +440,10 @@ def use_expand_kernel() -> bool:
         return False
 
 
-def _group_rows(out_len: int) -> int:
-    g = max(_GROUP_BYTES // (out_len * 9), 8)
+def _group_rows(out_len: int, maxrec: int = 0) -> int:
+    # per-row workspace: sort/fill operands (~9 B/output byte) plus the
+    # record array and its compaction copy (16 B per record each)
+    g = max(_GROUP_BYTES // (out_len * 9 + maxrec * 32), 8)
     g = 1 << (g.bit_length() - 1)       # floor to a power of two
     return max(8, min(g, 1024))
 
@@ -463,13 +484,15 @@ def grouped_walk(walk, slots, csizes, out_len: int, maxrec: int,
     )
 
 
-@partial(jax.jit, static_argnums=2)
-def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
+           maxrec_hint: int = 0):
     """Drop-in for codec.decode with the structured fast path.
 
     Rows the structured machine cannot handle decode through the generic
     loop; outputs merge with a select. Returns (out, produced, err) with
-    the same semantics as codec.decode.
+    the same semantics as codec.decode. maxrec_hint overrides the record
+    budget (host_api passes high_records for token-dense chunks).
     """
     if out_len > MAX_OUT or out_len < 8:
         return codec.decode(slots, csizes, out_len)
@@ -477,9 +500,9 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int):
     # walk windows need aligned blocks and parse margin past the stream
     Wpad = max(-(-(W + _MARGIN) // 128) * 128, _WINW)
     slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
-    maxrec = max_records(out_len)
+    maxrec = maxrec_hint or max_records(out_len)
 
-    group = _group_rows(out_len)
+    group = _group_rows(out_len, maxrec)
 
     kernel_place = use_expand_kernel()
 

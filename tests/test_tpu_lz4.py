@@ -105,3 +105,51 @@ def test_lz4_mined_distance_streams_cross_decode(rng):
     for i in range(S.shape[0]):
         stream = np.asarray(sl[i, :cs[i]]).tobytes()
         assert lz4host.decompress(stream, n) == S[i].tobytes(), i
+
+
+def _textlike(rng, n):
+    """Match-rich data: random short words from a tiny dictionary, the
+    shape that makes hash-table encoders emit a token every few bytes."""
+    words = [rng.integers(97, 123, int(k), dtype=np.uint8)
+             for k in rng.integers(3, 8, 24)]
+    out = np.concatenate(
+        [words[i] for i in rng.integers(0, len(words), n // 3)])
+    return out[:n].copy()
+
+
+def test_lz4_token_dense_budget_escalation(rng):
+    """Foreign token-dense LZ4 streams overflow the default record
+    budget; the escalated budget (structured.high_records) must walk
+    them fully, and the expand kernel must place them bit-exactly
+    (host_api retries with this budget before any host fallback)."""
+    import jax
+
+    from cblosc_tpu.tpu import expand, structured
+
+    n = 8192
+    a = _textlike(rng, n)
+    enc = lz4host.compress(a.tobytes(), 2 * n + 64, acceleration=1)
+    assert enc
+    W = max(-(-(len(enc) + structured._MARGIN) // 128) * 128,
+            structured._WINW)
+    buf = np.zeros((1, W), np.uint8)
+    buf[0, : len(enc)] = np.frombuffer(enc, np.uint8)
+    cs = np.array([len(enc)], np.int32)
+
+    walk = jax.jit(codec_lz4._walk_batch, static_argnums=(2, 3))
+    _, _, _, ok_lo = walk(jnp.asarray(buf), jnp.asarray(cs), n,
+                          codec_lz4.max_records(n))
+    assert not np.asarray(ok_lo).any()       # default budget overflows
+
+    hi = structured.high_records(n)
+    recs, dist, uni, ok_hi = walk(jnp.asarray(buf), jnp.asarray(cs), n, hi)
+    assert np.asarray(ok_hi).all()
+    out = np.asarray(expand.expand(
+        jnp.asarray(buf), expand.compact_records(recs), n, interpret=True))
+    assert np.array_equal(out[0], a)
+
+    # the decode() entry honors the hint end-to-end
+    out2, produced, err = codec_lz4.decode(
+        jnp.asarray(buf), jnp.asarray(cs), n, hi)
+    if not np.asarray(err)[0]:               # kernel path (TPU leg)
+        assert np.array_equal(np.asarray(out2)[0], a)
