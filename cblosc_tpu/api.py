@@ -374,7 +374,8 @@ def decompress(src, destsize: int | None = None, backend: str | None = None) -> 
 def getitem(src, start: int, nitems: int, backend: str | None = None) -> bytes:
     """Partial decompression of items [start, start+nitems)
     (blosc_getitem, blosc.h:332-352). backend='tpu' decodes only the
-    overlapping blocks on device."""
+    overlapping blocks on device; the default prefers the native C++
+    engine (single-threaded, like the reference's) over the oracle."""
     data = _coerce_src(src)
     if backend == "tpu":
         from .tpu import host_api
@@ -382,4 +383,14 @@ def getitem(src, start: int, nitems: int, backend: str | None = None) -> bytes:
         out = host_api.getitem(data, start, nitems)
         if out is not None:
             return out
+    if backend in (None, "auto", "native", "tpu"):
+        try:
+            from .native import binding
+
+            if binding.available():
+                out = binding.getitem(data, start, nitems)
+                if out is not None:
+                    return out
+        except ImportError:
+            pass
     return engine.getitem(data, start, nitems)

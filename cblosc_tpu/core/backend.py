@@ -55,6 +55,14 @@ def compress_chunk(ctx, data: bytes, backend: str | None = None) -> bytes:
         result = tpu_api.compress_chunk(ctx, data)
         if result is not None:
             return result
+        # device fallback prefers the native engine over the numpy
+        # oracle (e.g. snappy encode: the oracle's per-byte Python loop
+        # is format-correct but ~1000x slower than native/src)
+        native = _native()
+        if native is not None:
+            result = native.compress_chunk(ctx, data)
+            if result is not None:
+                return result
     return engine.compress_chunk(ctx, data)
 
 
@@ -74,6 +82,11 @@ def decompress_chunk(
         result = tpu_api.decompress_chunk(chunk, destsize)
         if result is not None:
             return result
+        native = _native()
+        if native is not None:
+            result = native.decompress_chunk(chunk, destsize, nthreads)
+            if result is not None:
+                return result
     return engine.decompress_chunk(chunk, destsize, nthreads)
 
 

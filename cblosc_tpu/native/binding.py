@@ -109,6 +109,8 @@ def _load():
         ]
         lib.cbt_decompress_chunk.restype = i64
         lib.cbt_decompress_chunk.argtypes = [u8p, i64, u8p, i64, i32]
+        lib.cbt_getitem.restype = i64
+        lib.cbt_getitem.argtypes = [u8p, i64, i64, i64, u8p, i64]
         lib.cbt_free_resources.restype = None
         lib.cbt_free_resources.argtypes = []
         for name in ("cbt_shuffle", "cbt_unshuffle"):
@@ -193,6 +195,33 @@ def decompress_chunk(chunk: bytes, destsize: int | None, nthreads: int) -> bytes
         from ..format.header import FormatError
 
         raise FormatError(f"native decompression failed (code {n})")
+    return dest[:n].tobytes()
+
+
+def getitem(chunk: bytes, start: int, nitems: int) -> bytes | None:
+    """Partial decompression (blosc_getitem, blosc.c:1574-1703) in the
+    C++ engine. Returns the slice bytes or None to fall back."""
+    lib = _load()
+    if lib is None or len(chunk) < 16:
+        return None
+    from ..format.header import ChunkHeader, FormatError
+
+    hdr = ChunkHeader.decode(chunk)
+    if not hdr.memcpyed and hdr.compcode not in _NATIVE_CODECS:
+        return None
+    ts = hdr.typesize if hdr.typesize else 1
+    stop = start + nitems
+    if start < 0 or nitems < 0 or stop * ts > hdr.nbytes:
+        raise IndexError("getitem range out of bounds")
+    src = _u8(chunk)
+    dest = np.empty(max(nitems * ts, 1), dtype=np.uint8)
+    with _lock:
+        n = lib.cbt_getitem(_ptr(src), len(chunk), start, nitems,
+                            _ptr(dest), nitems * ts)
+    if n < 0:
+        if n == -2:
+            return None  # codec not handled natively
+        raise FormatError(f"native getitem failed (code {n})")
     return dest[:n].tobytes()
 
 

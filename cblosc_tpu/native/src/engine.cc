@@ -508,6 +508,80 @@ int64_t cbt_decompress_chunk(const uint8_t* chunk, int64_t chunk_len,
   return ok ? nbytes : -1;
 }
 
+// Partial decompression (role of blosc_getitem, blosc.c:1574-1703):
+// decode only the blocks overlapping items [start, start+nitems) and
+// copy the requested slice out of each. Single-threaded, as the
+// reference's is. Returns the byte count or a negative error code
+// (-2 = codec not native; caller falls back).
+int64_t cbt_getitem(const uint8_t* chunk, int64_t chunk_len, int64_t start,
+                    int64_t nitems, uint8_t* dst, int64_t destsize) {
+  using namespace cbt;
+  if (chunk_len < kHeaderLen) return -1;
+  uint8_t version = chunk[0];
+  uint8_t flags = chunk[2];
+  int typesize = chunk[3];
+  int64_t nbytes = load_i32(chunk + 4);
+  int64_t blocksize = load_i32(chunk + 8);
+  int64_t cbytes = load_i32(chunk + 12);
+  if (version != 2 || (flags & kReservedBit)) return -1;
+  if (blocksize <= 0 || typesize <= 0 || cbytes > chunk_len) return -1;
+  int64_t ts = typesize;
+  int64_t stop = start + nitems;
+  if (start < 0 || nitems < 0 || stop * ts > nbytes) return -1;
+  if (nitems * ts > destsize) return -1;
+  if (nitems == 0) return 0;
+
+  if (flags & kMemcpyed) {
+    if (nbytes + kMaxOverhead != cbytes) return -1;
+    std::memcpy(dst, chunk + kHeaderLen + start * ts, (size_t)(nitems * ts));
+    return nitems * ts;
+  }
+  int compformat = (flags & 0xE0) >> 5;
+  static const int fmt2code[5] = {kBloscLZ, kLZ4, kSnappy, kZlib, kZstd};
+  if (compformat > 4) return -1;
+  int compcode = fmt2code[compformat];
+  if (!codec_native_available(compcode)) return -2;
+  if (chunk[1] != 1) return -9;
+
+  int64_t nblocks = nbytes / blocksize;
+  int64_t leftover = nbytes % blocksize;
+  if (leftover) nblocks++;
+  if (nblocks > (cbytes - kHeaderLen) / 4) return -1;
+
+  int doshuffle = (flags & kDoShuffle) ? kShuffle
+                  : (flags & kDoBitshuffle) ? kBitShuffle
+                                            : kNoShuffle;
+  bool dont_split = flags & kDontSplit;
+
+  std::vector<uint8_t> block((size_t)blocksize);
+  uint8_t* tl = thread_scratch(2 * blocksize);
+  int64_t ntbytes = 0;
+  for (int64_t j = (start * ts) / blocksize;
+       j < nblocks && j * blocksize < stop * ts; ++j) {
+    int64_t bsize = blocksize;
+    bool lob = false;
+    if (j == nblocks - 1 && leftover) {
+      bsize = leftover;
+      lob = true;
+    }
+    int64_t startb = start * ts - j * blocksize;
+    if (startb < 0) startb = 0;
+    int64_t stopb = stop * ts - j * blocksize;
+    if (stopb > bsize) stopb = bsize;
+    if (stopb <= startb) continue;
+    int64_t offset = load_i32(chunk + kHeaderLen + 4 * j);
+    if (!decompress_block(compcode, doshuffle, typesize, dont_split,
+                          blocksize, chunk, chunk_len, offset, block.data(),
+                          bsize, lob, tl, tl + blocksize)) {
+      return -1;
+    }
+    std::memcpy(dst + ntbytes, block.data() + startb,
+                (size_t)(stopb - startb));
+    ntbytes += stopb - startb;
+  }
+  return ntbytes;
+}
+
 void cbt_free_resources() { cbt::WorkerPool::instance().shutdown(); }
 
 // Direct kernel entry points for cross-validation tests.

@@ -118,3 +118,29 @@ def test_native_decodes_golden_files():
     for path in paths:
         chunk = open(path, "rb").read()
         assert b.decompress_ctx(chunk, backend="native") == expected, path
+
+
+def test_native_getitem_cross_validated(rng):
+    """cbt_getitem (blosc_getitem semantics, blosc.c:1574-1703) must
+    agree with the oracle for every codec across block-interior,
+    block-straddling, tail, empty, and whole-buffer ranges."""
+    if not nb.available():
+        pytest.skip("native engine unavailable")
+    from cblosc_tpu.core import engine
+    from tests.conftest import make_buffer
+
+    for codec in ["blosclz", "lz4", "snappy", "zlib", "zstd"]:
+        data = make_buffer(rng, 300_000 + 36, 4, "lowentropy")
+        chunk = b.compress_ctx(6, 1, 4, data, compressor=codec,
+                               backend="numpy")
+        n = len(data) // 4
+        for s, k in [(0, n), (0, 1), (n - 3, 3), (n // 3, n // 2), (5, 0)]:
+            want = data[s * 4:(s + k) * 4]
+            got = nb.getitem(chunk, s, k)
+            assert got == want, (codec, s, k)
+            assert bytes(engine.getitem(
+                np.frombuffer(chunk, np.uint8), s, k)) == want
+    # memcpyed chunks slice straight from the source (blosc.c:1678-1683)
+    d = make_buffer(rng, 50_000, 1, "random")
+    ch = b.compress_ctx(0, 0, 1, d)
+    assert nb.getitem(ch, 100, 400) == d[100:500]
