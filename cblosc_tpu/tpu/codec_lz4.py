@@ -489,12 +489,8 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
 
         def slow(_):
             if kernel_place:
-                from . import expand as expand_mod
-
-                sk = expand_mod.expand(
-                    sl[:, :W], expand_mod.compact_records(recs), out_len,
-                    interpret=jax.default_backend() == "cpu")
-                return sk, ok
+                return structured.kernel_place_rows(
+                    sl, recs, ok, out_len, W), ok
             return structured._place_and_fill(
                 sl[:, :W], cs, recs, valid, dist, uni, ok, out_len)
 

@@ -424,6 +424,68 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
 _GROUP_BYTES = 24 << 20     # sort workspace budget per row group
 
 
+_MERGE_TARGET = 32768   # virtual-row size the merge aims for
+
+
+def merge_factor(R: int, out_len: int) -> int:
+    """How many small rows to fuse into one expand-kernel program.
+
+    The kernel pays per-program and per-record costs; at small out_len
+    (the clevel<=4 split geometry) per-program overhead dominates, so m
+    rows are fused into one virtual row of m*out_len bytes: record dst
+    offsets shift by k*out_len, literal src offsets by k*W — all static
+    arithmetic, no data movement. CBLOSC_TPU_MERGE=0 disables; =N caps."""
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_MERGE")
+    cap = 1 << 30
+    if v is not None:
+        try:
+            cap = int(v)
+        except ValueError:
+            cap = 1 << 30
+        if cap <= 1:
+            return 1
+    m = 1
+    while (m * 2 * out_len <= _MERGE_TARGET and m * 2 <= R
+           and R % (m * 2) == 0 and m * 2 <= cap):
+        m *= 2
+    return m
+
+
+def merge_rows(sl: jax.Array, recs: jax.Array, ok: jax.Array,
+               out_len: int, m: int):
+    """Fuse m consecutive rows into one virtual row for the expand
+    kernel. Records of not-ok rows are invalidated (their subranges
+    hold garbage; the caller's handled mask falls those rows back)."""
+    R, Wp = sl.shape
+    k = jnp.arange(R, dtype=I32) % m
+    kind = jnp.where(ok[:, None], recs[..., 0], -1)
+    src = recs[..., 1] + jnp.where(kind == 0, (k * Wp)[:, None], 0)
+    dst = recs[..., 2] + (k * out_len)[:, None]
+    rcm = jnp.stack([kind, src, dst, recs[..., 3]], axis=-1)
+    return (sl.reshape(R // m, m * Wp),
+            rcm.reshape(R // m, m * recs.shape[1], 4))
+
+
+def kernel_place_rows(sl: jax.Array, recs: jax.Array, ok: jax.Array,
+                      out_len: int, W: int):
+    """Shared expand-kernel placement: merge small rows, expand, split."""
+    from . import expand as expand_mod
+
+    interp = jax.default_backend() == "cpu"
+    R = sl.shape[0]
+    m = merge_factor(R, out_len)
+    if m <= 1:
+        return expand_mod.expand(
+            sl[:, :W], expand_mod.compact_records(recs), out_len,
+            interpret=interp)
+    slm, rcm = merge_rows(sl, recs, ok, out_len, m)
+    out = expand_mod.expand(slm, expand_mod.compact_records(rcm),
+                            m * out_len, interpret=interp)
+    return out.reshape(R, out_len)
+
+
 def use_expand_kernel() -> bool:
     """Whether placement runs the Pallas expand kernel (TPU default) or
     the XLA sort machine (CPU test legs; CBLOSC_TPU_PLACE overrides)."""
@@ -514,13 +576,9 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
         def slow(_):
             if kernel_place:
                 # Pallas expand: per-record distances, so mixed-distance
-                # (host/reference-encoded) streams are handled too
-                from . import expand as expand_mod
-
-                sk = expand_mod.expand(
-                    sl[:, :W], expand_mod.compact_records(recs), out_len,
-                    interpret=jax.default_backend() == "cpu")
-                return sk, okf
+                # (host/reference-encoded) streams are handled too;
+                # small rows are fused into virtual rows (merge_rows)
+                return kernel_place_rows(sl, recs, okf, out_len, W), okf
             return _place_and_fill(
                 sl[:, :W], cs, recs, valid, dist, uni, okf, out_len)
 

@@ -95,3 +95,47 @@ def test_expand_clamps_adversarial_records():
     out = np.asarray(expand.expand(
         jnp.asarray(slots), jnp.asarray(recs), n, interpret=True))
     assert out.shape == (1, n)
+
+
+def test_expand_merged_virtual_rows(rng):
+    """merge_rows fuses m small rows into one kernel program; the output
+    must be bit-identical to per-row expansion, with not-ok rows'
+    records invalidated (their subranges are don't-care)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 2048
+    S = np.stack([
+        np.zeros(n, np.uint8),
+        np.tile(np.arange(64, dtype=np.uint8), n // 64),
+        np.repeat(rng.integers(0, 5, n // 32).astype(np.uint8), 32),
+        np.tile(np.array([3, 1, 4], np.uint8), n // 3 + 1)[:n],
+    ] * 2)                                  # 8 rows
+    slots, csizes, _ = codec.encode(jnp.asarray(S))
+    W = int(slots.shape[1])
+    Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
+    sl = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
+    recs, dist, uni, ok = structured._walk_batch(
+        sl, csizes, n, structured.max_records(n))
+    ok_np = np.asarray(ok)
+    assert ok_np.all()
+
+    per_row = np.asarray(expand.expand(
+        sl[:, :W], expand.compact_records(recs), n, interpret=True))
+    m = structured.merge_factor(8, n)
+    assert m > 1
+    slm, rcm = structured.merge_rows(sl, recs, ok, n, m)
+    merged = np.asarray(expand.expand(
+        slm, expand.compact_records(rcm), m * n,
+        interpret=True)).reshape(8, n)
+    assert np.array_equal(merged[ok_np], per_row[ok_np])
+    assert np.array_equal(merged, S)
+
+    # a not-ok row must not clobber its neighbors' subranges
+    ok_bad = ok & (jnp.arange(8) != 2)
+    slm, rcm = structured.merge_rows(sl, recs, ok_bad, n, m)
+    merged2 = np.asarray(expand.expand(
+        slm, expand.compact_records(rcm), m * n,
+        interpret=True)).reshape(8, n)
+    keep = np.asarray(ok_bad)
+    assert np.array_equal(merged2[keep], S[keep])
