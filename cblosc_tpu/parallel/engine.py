@@ -109,6 +109,7 @@ def decompress_blocks_sharded(
     typesize: int,
     nsplits: int,
     mesh: Mesh,
+    compcode: int = 0,
 ):
     """Decode a chunk's full blocks across the mesh.
 
@@ -129,7 +130,7 @@ def decompress_blocks_sharded(
         rows = pipeline.gather_slots(chunk, offs, width)
         rows = pipeline.mask_past_csize(rows, csizes, width)
         return pipeline.decompress_blocks(
-            rows, csizes, neblock, doshuffle, typesize, nsplits
+            rows, csizes, neblock, doshuffle, typesize, nsplits, compcode
         )
 
     return step(chunk, offs, csizes)
@@ -319,7 +320,8 @@ def compress_chunk(
         exact_blocksize=policy.compute_blocksize_device(
             clevel, typesize, nbytes, 0, compcode),
     )
-    if ctx.memcpyed or ctx.nblocks == 0:
+    if (ctx.memcpyed or ctx.nblocks == 0
+            or ctx.compcode not in pipeline.DEVICE_CODECS):
         return engine.compress_chunk(ctx, data)
     nsplits = policy.nsplits_encode(ctx.dont_split, ctx.typesize, False)
     if ctx.blocksize % nsplits:
@@ -393,7 +395,8 @@ def decompress_chunk(chunk_bytes: bytes, mesh: Mesh) -> bytes:
 
     chunk = np.frombuffer(bytes(chunk_bytes), dtype=np.uint8)
     hdr = ChunkHeader.decode(chunk_bytes)
-    if hdr.memcpyed or hdr.nbytes == 0:
+    if (hdr.memcpyed or hdr.nbytes == 0
+            or hdr.compcode not in pipeline.DEVICE_DECODE_CODECS):
         return engine.decompress_chunk(bytes(chunk_bytes), hdr.nbytes, 1)
     nsplits = policy.nsplits_decode(
         hdr.dont_split, hdr.typesize, hdr.blocksize, False)
@@ -428,7 +431,7 @@ def decompress_chunk(chunk_bytes: bytes, mesh: Mesh) -> bytes:
                      else (C.BITSHUFFLE if hdr.dobitshuffle else 0))
         blocks, err = decompress_blocks_sharded(
             jnp.asarray(chunk), jnp.asarray(offs), jnp.asarray(csizes),
-            neblock, doshuffle, hdr.typesize, nsplits, mesh)
+            neblock, doshuffle, hdr.typesize, nsplits, mesh, hdr.compcode)
         if bool(np.asarray(err).any()):
             return engine.decompress_chunk(bytes(chunk_bytes), hdr.nbytes, 1)
         out_parts.append(np.asarray(blocks).reshape(-1).tobytes())

@@ -44,7 +44,11 @@ DEVICE_DECODE_CODECS = DEVICE_CODECS + (C.SNAPPY,)
 
 
 def _codec_mod(compcode: int):
-    return codec if compcode == C.BLOSCLZ else codec_lz4
+    if compcode == C.BLOSCLZ:
+        return codec
+    if compcode in (C.LZ4, C.LZ4HC):
+        return codec_lz4
+    raise ValueError(f"no device encoder for compcode {compcode}")
 
 
 # The encoder's sort keys cost 8 bytes per input byte transiently; group

@@ -156,3 +156,30 @@ def test_sharded_byte_api_tiny_and_incompressible(rng, mesh):
     c2 = parallel.compress_chunk(5, 1, 8, noise, mesh)
     assert c2 and b.decompress_ctx(c2) == noise
     assert parallel.decompress_chunk(c2, mesh) == noise
+
+
+def test_sharded_byte_api_per_codec(rng, mesh):
+    """Sharded byte API across every device codec (and the host-only
+    codecs falling back correctly): LZ4/LZ4HC compress+decode on the
+    mesh, snappy decodes host-written chunks on the mesh, zlib/zstd
+    route to the host engine without corrupting the wire format."""
+    import cblosc_tpu as b
+    from cblosc_tpu.format import constants as C
+
+    data = make_buffer(rng, 200_000, 4, "lowentropy")
+    for code, name in [(C.LZ4, "lz4"), (C.LZ4HC, "lz4hc")]:
+        chunk = parallel.compress_chunk(5, 1, 4, data, mesh, code)
+        assert chunk and b.decompress_ctx(chunk) == data
+        assert parallel.decompress_chunk(chunk, mesh) == data
+    # snappy: host-encoded chunk through the sharded decoder
+    sn = b.compress_ctx(5, 1, 4, data, compressor="snappy",
+                        backend="numpy")
+    assert parallel.decompress_chunk(sn, mesh) == data
+    # host-only codecs must round-trip via the engine fallback with the
+    # right wire format (a device LZ4 stream mislabeled zlib would not)
+    for name in ["zlib", "zstd"]:
+        code = b.compname_to_compcode(name)
+        chunk = parallel.compress_chunk(5, 1, 4, data, mesh, code)
+        assert chunk
+        assert b.decompress_ctx(chunk, backend="numpy") == data
+        assert parallel.decompress_chunk(chunk, mesh) == data
