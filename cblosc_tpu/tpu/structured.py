@@ -401,10 +401,15 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
     N = slots.shape[0]
     prefix = min(_PREFIX, slots.shape[1])    # qualifying csizes <= prefix
     pre = slots[:, :prefix]
-    # a row with csize <= prefix has < prefix//2 records (each consumes
-    # >= 2 compressed bytes), so the record slice below is lossless
-    r = recs[:, : prefix // 2]
-    rv = rec_valid[:, : prefix // 2] & handled[:, None]
+    # a row with csize <= prefix consumes <= prefix//2 record slots:
+    # every parse step eats >= 2 compressed bytes, and window-edge
+    # stalls (which would shift slots past the record count) require a
+    # single >= 335-byte step — impossible together with max token
+    # density. The +32 is belt-and-braces for the boundary case
+    # (test_splat_slot_margin_max_density pins a 510-record stream).
+    nslot = min(prefix // 2 + 32, recs.shape[1])
+    r = recs[:, :nslot]
+    rv = rec_valid[:, :nslot] & handled[:, None]
     in_lit, dst_p = _lit_geometry(pre, csizes, r, rv, out_len)
     p = jnp.arange(prefix, dtype=I32)[None, :]
     live = in_lit & (p < csizes[:, None])

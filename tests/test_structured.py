@@ -199,3 +199,48 @@ def test_structured_256k_split(rng):
     assert not np.asarray(err).any()
     assert (np.asarray(produced) == n).all()
     assert np.array_equal(np.asarray(out), S)
+
+
+def test_splat_slot_margin_max_density(rng):
+    """Max-token-density splat boundary: a conforming d=1 stream with
+    ~510 records in a <= _PREFIX-byte stream (every slot up to the
+    prefix//2 slice boundary in use, value switch near the tail so a
+    dropped record would corrupt output). Pins that _splat_place's
+    record-slot slice is lossless at the density limit."""
+    import numpy as np
+
+    from cblosc_tpu.ops.codecs import blosclz as lzhost
+
+    # 1 literal + 495 short d=1 matches (len 8) + 28 long matches
+    # (3-byte token, len 263): csize = 2 + 495*2 + 28*3 = 1076 -> use
+    # fewer shorts to stay under _PREFIX=1024
+    out = bytearray([7])
+    s = bytearray([0x00, 7])                 # first token: 1 literal
+    nshort, nlong = 464, 29
+    for _ in range(nshort):
+        s += bytes([0xC0, 0x00])             # len 8, d=1
+        out += bytes([7]) * 8
+    s += bytes([0x00, 9])                    # value switch: the tail
+    out += bytes([9])                        # records must carry 9s
+    for _ in range(nlong):
+        s += bytes([0xE0, 0xFE, 0x00])       # ext 254 -> len 263, d=1
+        out += bytes([9]) * 263
+    s += bytes([0x00, 9])                    # streams end on a literal
+    out += bytes([9])
+    assert len(s) <= structured._PREFIX, len(s)
+    n = len(out)
+    assert structured.max_records(n) > 512   # geometry with a big budget
+    # oracle agreement first
+    assert lzhost.decompress(bytes(s), n) == bytes(out)
+
+    W = max(-(-(len(s) + structured._MARGIN) // 128) * 128,
+            structured._WINW)
+    buf = np.zeros((8, W), np.uint8)
+    cs = np.zeros(8, np.int32)
+    buf[3, : len(s)] = np.frombuffer(bytes(s), np.uint8)
+    cs[3] = len(s)
+    got, produced, err = structured.decode(
+        jnp.asarray(buf), jnp.asarray(cs), n)
+    got, err = np.asarray(got), np.asarray(err)
+    assert not err[3]
+    assert bytes(got[3]) == bytes(out)
