@@ -78,10 +78,13 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     x = jax.device_put(jnp.asarray(data))
 
     def compress(x):
+        # exactly the shipped byte-API configuration (host_api.py),
+        # mined adaptive distances included
         return pipeline.compress_blocks(
             x, doshuffle, typesize, nsplits,
             policy.device_min_bytes_per_iter(clevel), compcode,
-            policy.device_min_cratio_x100(clevel))
+            policy.device_min_cratio_x100(clevel),
+            policy.device_mine(clevel))
 
     def roundtrip(x):
         slots, csizes = compress(x)
@@ -137,11 +140,19 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
                 + err.sum().astype(jnp.int32))
 
     def chain_u8(step, arr, reps=iters):
+        # the carry flips the LAST slot column of row 0: provably past
+        # every stream (csize <= neblock <= W - neblock//32 - 8) and
+        # beyond any decoder's bounded overread, so the dependency is
+        # real to XLA but the decoded bytes stay exactly the benchmarked
+        # stream (flipping a live byte would time corrupt-input decodes)
         @jax.jit
         def many(a):
+            last = a.shape[1] - 1
+
             def body(i, a):
                 r = step(a)
-                return a.at[0, 0].set(a[0, 0] ^ (r % 2).astype(jnp.uint8))
+                return a.at[0, last].set(
+                    a[0, last] ^ (r % 2).astype(jnp.uint8))
             return jax.lax.fori_loop(0, reps, body, a)
         return many, arr
 

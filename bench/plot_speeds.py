@@ -68,10 +68,14 @@ def main() -> None:
                 }}
             name = run.get("metric", path).replace("_compress_device", "")
             mk = _MARKERS[fi % len(_MARKERS)]
-            pts = sorted(((v["ratio"], v["compress_gbps"],
-                           v["decompress_gbps"], int(k))
-                          for k, v in sweep.items() if v.get("ratio")),
-                         key=lambda t: t[3])
+            pts = sorted(
+                ((v["ratio"], v["compress_gbps"], v["decompress_gbps"],
+                  int(k))
+                 for k, v in sweep.items()
+                 if str(k).isdigit() and v.get("ratio")
+                 and v.get("compress_gbps") is not None
+                 and v.get("decompress_gbps") is not None),
+                key=lambda t: t[3])
             if not pts:
                 continue
             r, cw, cr, lv = zip(*pts)

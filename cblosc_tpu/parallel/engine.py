@@ -117,7 +117,7 @@ def decompress_blocks_sharded(
     over blocks. Returns (blocks uint8 (nblocks, blocksize) sharded,
     err bool (rows,) sharded).
     """
-    width = neblock + 64
+    width = pipeline.decode_slot_width(neblock, compcode)
 
     @partial(
         shard_map,
@@ -407,21 +407,10 @@ def decompress_chunk(chunk_bytes: bytes, mesh: Mesh) -> bytes:
     nfull = hdr.nblocks - (1 if hdr.leftover else 0)
     ndevb = nfull - nfull % ndev
 
+    from ..tpu.host_api import _split_table
+
     bstarts = read_bstarts(chunk_bytes, hdr.nblocks)
-    offs = np.empty(ndevb * nsplits, dtype=np.int32)
-    csizes = np.empty(ndevb * nsplits, dtype=np.int32)
-    clen = chunk.size
-    for j in range(ndevb):
-        p = bstarts[j]
-        for s in range(nsplits):
-            if p < 0 or p + 4 > clen:
-                raise FormatError("split offset out of range")
-            cs = int(np.frombuffer(chunk[p:p + 4].tobytes(), "<i4")[0])
-            if cs < 0 or p + 4 + cs > clen:
-                raise FormatError("split size out of range")
-            offs[j * nsplits + s] = p + 4
-            csizes[j * nsplits + s] = cs
-            p += 4 + cs
+    offs, csizes = _split_table(chunk, bstarts[:ndevb], nsplits)
 
     out_parts = []
     if ndevb:

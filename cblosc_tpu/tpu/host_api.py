@@ -208,7 +208,7 @@ def getitem(chunk_bytes, start: int, nitems: int) -> bytes | None:
     offs, csizes = _split_table(chunk, bstarts[b0:b1_dev], nsplits)
 
     jnp = _jnp()
-    width = neblock + 64
+    width = pipeline.decode_slot_width(neblock, hdr.compcode)
     chunk_dev = jnp.asarray(chunk)
     rows = pipeline.gather_slots(chunk_dev, jnp.asarray(offs), width)
     rows = pipeline.mask_past_csize(rows, jnp.asarray(csizes), width)
@@ -270,7 +270,7 @@ def decompress_chunk(chunk_bytes, destsize: int | None = None) -> bytes | None:
     offs, csizes = _split_table(chunk, bstarts[:nfull], nsplits)
 
     jnp = _jnp()
-    width = neblock + 64
+    width = pipeline.decode_slot_width(neblock, hdr.compcode)
     chunk_dev = jnp.asarray(chunk)
     rows = pipeline.gather_slots(chunk_dev, jnp.asarray(offs), width)
     rows = pipeline.mask_past_csize(rows, jnp.asarray(csizes), width)

@@ -136,7 +136,15 @@ def decompress_blocks(
     maxrec_hint widens the walk record budget for token-dense chunks
     (host_api._record_budget derives it from the csizes).
     """
-    raw = csizes >= neblock
+    # stored-raw rule: csize == neblock marks a raw split (blosc.c:705-714
+    # guarantees conforming encoders never emit a compressed split of
+    # exactly neblock bytes). Snappy is the one codec whose compressed
+    # split may legally EXCEED neblock (its maxout is 32+n+n/6,
+    # blosc.c:640-645) — those must reach the decoder, not the raw copy.
+    if compcode == C.SNAPPY:
+        raw = csizes == neblock
+    else:
+        raw = csizes >= neblock
     # stored-raw rows skip the token decoder entirely (csize 0 => finished);
     # the structured decoder fast-paths uniform-distance streams and falls
     # back to the loop decoder per row otherwise. Row groups bound the
@@ -174,6 +182,16 @@ def decompress_blocks(
     blocks = streams.reshape(nrows // nsplits, nsplits * neblock)
     blocks = filters.undo_filter(doshuffle, typesize, blocks)
     return blocks, err
+
+
+def decode_slot_width(neblock: int, compcode: int = C.BLOSCLZ) -> int:
+    """Gather width covering any conforming split stream: blosclz/LZ4
+    splits never exceed neblock (their maxout IS neblock; bigger is
+    stored raw), but a compressed snappy split may reach
+    32 + n + n/6 (snappy_max_compressed_length, blosc.c:640-645)."""
+    if compcode == C.SNAPPY:
+        return neblock + neblock // 6 + 64
+    return neblock + 64
 
 
 @partial(jax.jit, static_argnums=(2, 3))

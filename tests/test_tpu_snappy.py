@@ -153,3 +153,43 @@ def test_snappy_chunk_device_decode_path(rng):
         assert b.decompress_ctx(chunk, backend="tpu") == data
         got = b.getitem(chunk, 100, 2000, backend="tpu")
         assert got == data[400:400 + 8000]
+
+
+def test_snappy_expanded_split_not_mistaken_for_raw(rng):
+    """A compressed snappy split may legally EXCEED neblock (snappy's
+    maxout is 32+n+n/6, blosc.c:640-645) while blosclz/LZ4 splits never
+    can. The device pipeline must decode such splits, not misclassify
+    them as stored-raw and return compressed bytes as plaintext
+    (regression: silent corruption with err=False)."""
+    import jax.numpy as jnp
+
+    from cblosc_tpu import parallel
+    from cblosc_tpu.format.header import ChunkHeader
+    from cblosc_tpu.tpu import host_api
+
+    # low byte plane random (expands under snappy), upper planes zero:
+    # the block compresses overall, split 0 stays compressed > neblock
+    vals = rng.integers(0, 256, 65536, dtype=np.uint8).astype(np.uint32)
+    data = vals.astype("<u4").tobytes()
+    chunk = b.compress_ctx(5, 1, 4, data, compressor="snappy",
+                           backend="numpy")
+    assert chunk
+    hdr = ChunkHeader.decode(chunk)
+    neblock = hdr.blocksize // 4
+    from cblosc_tpu.format.header import read_bstarts
+
+    bstarts = read_bstarts(chunk, hdr.nblocks)
+    offs, csizes = host_api._split_table(
+        np.frombuffer(chunk, np.uint8), bstarts[:1], 4)
+    assert (csizes > neblock).any(), "fixture must have an expanded split"
+
+    got = host_api.decompress_chunk(chunk)
+    if got is not None:                      # device handled it
+        assert got == data
+    assert b.decompress_ctx(chunk, backend="tpu") == data
+    got_item = b.getitem(chunk, 17, 5000, backend="tpu")
+    assert got_item == data[17 * 4:(17 + 5000) * 4]
+
+    if len(jax.devices()) >= 2:
+        mesh = parallel.make_mesh()
+        assert parallel.decompress_chunk(chunk, mesh) == data
