@@ -212,49 +212,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
                 jnp.zeros((N,), I32),
                 csizes > 0)
     maxrec = maxrec_hint or max_records(out_len)
-    Wpad = max(-(-(W + structured._MARGIN) // 128) * 128, structured._WINW)
-    slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
-    group = structured._group_rows(out_len, maxrec)
-
-    kernel_place = structured.use_expand_kernel()
-
-    def run(sl, cs):
-        recs, dist, uni, ok = _walk_batch(sl, cs, out_len, maxrec)
-        valid = recs[..., 0] >= 0
-        splat = ok & uni & (dist <= 1) & (cs <= structured._PREFIX)
-
-        def slow(_):
-            if kernel_place:
-                return structured.kernel_place_rows(
-                    sl, recs, ok, out_len, W), ok
-            return structured._place_and_fill(
-                sl[:, :W], cs, recs, valid, dist, uni, ok, out_len)
-
-        fast = jnp.all(splat | (cs <= 0))
-        return jax.lax.cond(
-            fast,
-            lambda _: structured._splat_place(
-                sl, cs, recs, valid, splat, out_len),
-            slow,
-            None)
-
-    if N <= group:
-        sk, handled = run(slots_w, csizes)
-    else:
-        order = jnp.argsort(csizes)
-        inv = jnp.argsort(order)
-        sl = jnp.take(slots_w, order, axis=0)
-        cs = jnp.take(csizes, order)
-        pad = (-N) % group
-        if pad:
-            sl = jnp.pad(sl, ((0, pad), (0, 0)))
-            cs = jnp.pad(cs, (0, pad))
-        g = sl.shape[0] // group
-        sk, handled = jax.lax.map(
-            lambda t: run(t[0], t[1]),
-            (sl.reshape(g, group, sl.shape[1]), cs.reshape(g, group)),
-        )
-        sk = jnp.take(sk.reshape(g * group, out_len)[:N], inv, axis=0)
-        handled = jnp.take(handled.reshape(-1)[:N], inv)
+    sk, handled = structured.decode_core(
+        _walk_batch, slots, csizes, out_len, maxrec)
     produced = jnp.where(handled, out_len, 0)
     return sk, produced, ~handled & (csizes > 0)

@@ -551,30 +551,30 @@ def grouped_walk(walk, slots, csizes, out_len: int, maxrec: int,
     )
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
-           maxrec_hint: int = 0):
-    """Drop-in for codec.decode with the structured fast path.
+def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
+                maxrec: int):
+    """Shared grouped decode driver for all three walk grammars
+    (blosclz/LZ4/snappy): pad for the walk windows, csize-sort into
+    bounded groups, walk, and dispatch placement per group — stored-raw
+    short-circuit, splat fast path behind the measured crossover, expand
+    kernel (with virtual-row merging) or the XLA sort machine.
+    Returns (sk uint8 (N, out_len), handled bool (N,))."""
+    import os
 
-    Rows the structured machine cannot handle decode through the generic
-    loop; outputs merge with a select. Returns (out, produced, err) with
-    the same semantics as codec.decode. maxrec_hint overrides the record
-    budget (host_api passes high_records for token-dense chunks).
-    """
-    if out_len > MAX_OUT or out_len < 8:
-        return codec.decode(slots, csizes, out_len)
     N, W = slots.shape
     # walk windows need aligned blocks and parse margin past the stream
     Wpad = max(-(-(W + _MARGIN) // 128) * 128, _WINW)
     slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
-    maxrec = maxrec_hint or max_records(out_len)
-
     group = _group_rows(out_len, maxrec)
-
     kernel_place = use_expand_kernel()
+    # measured crossover (v5e): the sparse-scatter splat path beats the
+    # per-row kernel only when rows are long (fewer rows per byte)
+    min_splat = 8192 if kernel_place else 0
+    no_splat = (os.environ.get("CBLOSC_TPU_SPLAT") == "0"
+                or out_len < min_splat)
 
     def run(sl, cs):
-        recs, dist, uni, okf = _walk_batch(sl, cs, out_len, maxrec)
+        recs, dist, uni, okf = walk(sl, cs, out_len, maxrec)
         valid = recs[..., 0] >= 0
         splat = okf & uni & (dist <= 1) & (cs <= _PREFIX)
 
@@ -587,16 +587,8 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
             return _place_and_fill(
                 sl[:, :W], cs, recs, valid, dist, uni, okf, out_len)
 
-        import os
-
-        # measured crossover (v5e): the sparse-scatter splat path beats
-        # the per-row kernel only when rows are long (fewer rows per
-        # byte); below 8 KB the kernel's per-row cost wins
-        min_splat = 8192 if kernel_place else 0
-
         def dispatch(_):
-            if (os.environ.get("CBLOSC_TPU_SPLAT") == "0"
-                    or out_len < min_splat):
+            if no_splat:
                 return slow(None)
             # group-level scalar predicate: rows arrive csize-sorted, so
             # whole groups of trivial rows take the sort-free branch (a
@@ -619,23 +611,39 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
             None)
 
     if N <= group:
-        sk, handled = run(slots_w, csizes)
-    else:
-        order = jnp.argsort(csizes)
-        inv = jnp.argsort(order)
-        sl = jnp.take(slots_w, order, axis=0)
-        cs = jnp.take(csizes, order)
-        pad = (-N) % group
-        if pad:
-            sl = jnp.pad(sl, ((0, pad), (0, 0)))
-            cs = jnp.pad(cs, (0, pad))
-        g = sl.shape[0] // group
-        sk, handled = jax.lax.map(
-            lambda t: run(t[0], t[1]),
-            (sl.reshape(g, group, sl.shape[1]), cs.reshape(g, group)),
-        )
-        sk = jnp.take(sk.reshape(g * group, out_len)[:N], inv, axis=0)
-        handled = jnp.take(handled.reshape(-1)[:N], inv)
+        return run(slots_w, csizes)
+    order = jnp.argsort(csizes)
+    inv = jnp.argsort(order)
+    sl = jnp.take(slots_w, order, axis=0)
+    cs = jnp.take(csizes, order)
+    pad = (-N) % group
+    if pad:
+        sl = jnp.pad(sl, ((0, pad), (0, 0)))
+        cs = jnp.pad(cs, (0, pad))
+    g = sl.shape[0] // group
+    sk, handled = jax.lax.map(
+        lambda t: run(t[0], t[1]),
+        (sl.reshape(g, group, sl.shape[1]), cs.reshape(g, group)),
+    )
+    sk = jnp.take(sk.reshape(g * group, out_len)[:N], inv, axis=0)
+    handled = jnp.take(handled.reshape(-1)[:N], inv)
+    return sk, handled
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
+           maxrec_hint: int = 0):
+    """Drop-in for codec.decode with the structured fast path.
+
+    Rows the structured machine cannot handle decode through the generic
+    loop; outputs merge with a select. Returns (out, produced, err) with
+    the same semantics as codec.decode. maxrec_hint overrides the record
+    budget (host_api passes high_records for token-dense chunks).
+    """
+    if out_len > MAX_OUT or out_len < 8:
+        return codec.decode(slots, csizes, out_len)
+    maxrec = maxrec_hint or max_records(out_len)
+    sk, handled = decode_core(_walk_batch, slots, csizes, out_len, maxrec)
 
     # fallback rows (csize of handled rows masked to 0 => loop skips them)
     fb_cs = jnp.where(handled, 0, csizes)
