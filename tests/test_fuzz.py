@@ -20,8 +20,12 @@ import cblosc_tpu as b
 from cblosc_tpu.format import constants as C
 from cblosc_tpu.format.header import FormatError
 
+import os
+
+# CBLOSC_TPU_FUZZ_EXAMPLES raises the example budget for soak runs
+_EXAMPLES = int(os.environ.get("CBLOSC_TPU_FUZZ_EXAMPLES", "120"))
 FUZZ = settings(
-    max_examples=120,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
