@@ -271,6 +271,31 @@ def main() -> None:
                     help="capture a jax.profiler trace of one timed pass")
     args = ap.parse_args()
 
+    # Fail fast and honestly when the TPU tunnel is down: a bare jax
+    # init would otherwise hang ~30 min (CLAUDE.md); probe in a
+    # subprocess under a timeout and emit a machine-readable error line.
+    import os
+    import subprocess
+    if os.environ.get("CBLOSC_TPU_BENCH_NOPROBE") != "1":
+        err = ""
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.arange(8.0).sum()), jax.devices())"],
+                capture_output=True, text=True, timeout=600,
+            )
+            if probe.returncode != 0:
+                err = (probe.stderr or "probe failed")[-400:]
+        except subprocess.TimeoutExpired:
+            err = "device probe timed out after 600 s (tunnel down?)"
+        if err:
+            print(json.dumps({
+                "metric": "device_unavailable", "value": 0.0,
+                "unit": "GB/s", "vs_baseline": 0.0,
+                "details": {"error": err}}))
+            sys.exit(1)
+
     if args.profile:
         import jax
 
