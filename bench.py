@@ -34,21 +34,8 @@ REF_COMPRESS_GBPS = 9.6      # RELEASE_NOTES.rst:775-780
 REF_DECOMPRESS_GBPS = 26.0   # RELEASE_NOTES.rst:777-778
 
 
-def synth(nbytes: int, typesize: int, sbits: int, seed: int = 0) -> np.ndarray:
-    """Reference bench data: integers with `sbits` significant bits
-    (bench.c:150-169), little-endian, viewed as bytes."""
-    rng = np.random.default_rng(seed)
-    n = nbytes // 8
-    vals = rng.integers(0, 1 << min(sbits, 62), n, dtype=np.int64)
-    vals <<= max(0, 32 - sbits)
-    return vals.view(np.uint8)[:nbytes]
-
-
-def _readback_latency(jnp, y):
-    t0 = time.perf_counter()
-    for _ in range(6):
-        _ = float(jnp.sum(y[:8].astype(jnp.int32)))
-    return (time.perf_counter() - t0) / 6
+from cblosc_tpu.utils.timing import readback_latency as _readback_latency
+from cblosc_tpu.utils.timing import synth
 
 
 def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
