@@ -94,10 +94,11 @@ def _score(s: jax.Array, dists: tuple):
     """Distance selection + purity detection.
 
     Returns (eq (N,n) bool at the chosen distance, d_row (N,1) i32,
-    pure (N,) bool). A row is PURE when one run at the chosen distance
-    covers everything matchable ([d, n-1)) — the dominant shape for
-    shuffled typed data — and its whole emission is closed-form
-    (_emit_pure), skipping segmentation scans and the emission sort.
+    pure (N,) bool, cov (N,) proxy, total (N,) exact eq count). A row is
+    PURE when one run at the chosen distance covers everything matchable
+    ([d, n-1)) — the dominant shape for shuffled typed data — and its
+    whole emission is closed-form (_emit_pure), skipping segmentation
+    scans and the emission sort.
     """
     N, n = s.shape
     idx = jnp.arange(n, dtype=I32)
@@ -122,7 +123,7 @@ def _score(s: jax.Array, dists: tuple):
     total = jnp.sum(eq.astype(I32), axis=1)
     pure = (total == n - 1 - d) & (n - 1 - d >= 3) & (d <= 256)
     cov = jnp.max(stack, axis=0)            # matched-coverage proxy
-    return eq, d_row, pure, cov
+    return eq, d_row, pure, cov, total
 
 
 def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
@@ -180,7 +181,8 @@ def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
     return slots, csize, est
 
 
-def _mine_distance(s: jax.Array) -> jax.Array:
+def _mine_distance(s: jax.Array, min_gap: int = 4,
+                   max_gap: int = MAX_FARDIST) -> jax.Array:
     """Per-row adaptive match distance: the modal gap between repeated
     4-grams, restricted to run-boundary positions.
 
@@ -194,7 +196,7 @@ def _mine_distance(s: jax.Array) -> jax.Array:
     matters: the large byte-plane periods of shuffled counters, which
     the static candidate set cannot reach).
 
-    Returns (N,) int32 in [4, MAX_FARDIST], 0 when a row has no usable
+    Returns (N,) int32 in [min_gap, max_gap], 0 when a row has no usable
     repeat structure.
     """
     N, n = s.shape
@@ -212,7 +214,7 @@ def _mine_distance(s: jax.Array) -> jax.Array:
     same = (sk == jnp.roll(sk, 1, axis=1)) & (sk != _BIGU)
     same = same.at[:, 0].set(False)
     gap = si - jnp.roll(si, 1, axis=1)
-    usable = same & (gap >= 4) & (gap <= MAX_FARDIST)
+    usable = same & (gap >= min_gap) & (gap <= max_gap)
     ds = jax.lax.sort(jnp.where(usable, gap, _BIGI), dimension=1)
     # longest equal-value run in the sorted gaps = the mode
     change = jnp.concatenate(
@@ -227,6 +229,74 @@ def _mine_distance(s: jax.Array) -> jax.Array:
 
 _BIGU = jnp.uint32(0xFFFFFFFF)
 _BIGI = jnp.int32(0x7FFFFFFF)
+
+_MINE_PREFIX = 16384        # near-range miner: exact grams on this prefix
+_FOLD_G = 16                # far-range miner: group-fold factor
+# fixed pseudo-random per-lane multipliers for the group-fold hash
+_FOLD_W = tuple(((2654435761 * (k + 1)) >> 13) & 0xFF for k in range(_FOLD_G))
+
+
+def _fold16(s: jax.Array) -> jax.Array:
+    """Fold every _FOLD_G bytes to one hash byte: a repeat of 4
+    consecutive hash bytes at group-gap g implies (whp) a true 64-byte
+    repeat at byte distance 16*g — full-range structure at 1/16 the
+    mining cost (only distances ≡ 0 mod 16 are visible; the prefix
+    miner owns the rest)."""
+    N, n = s.shape
+    g = s.reshape(N, n // _FOLD_G, _FOLD_G).astype(jnp.uint32)
+    w = jnp.asarray(_FOLD_W, jnp.uint32)[None, None, :]
+    h = jnp.sum(g * w, axis=2)
+    return ((h ^ (h >> 8) ^ (h >> 16)) & 0xFF).astype(U8)
+
+
+def mine_group(s: jax.Array, d_row: jax.Array,
+               max_d: int = MAX_FARDIST):
+    """Dual-miner with exact verification for one emission group.
+
+    Two cheap candidate miners run unconditionally: exact 4-gram mining
+    on a _MINE_PREFIX-byte prefix (any distance < prefix) and 4-gram
+    mining over the _fold16 hash stream (full row, distances ≡ 0 mod 16
+    — the far byte-plane periods of shuffled counters, e.g. the d=64000
+    staircase that made mining worth 24% on the ramp workload). Exact
+    coverage verification (_eq_at, one dynamic-slice + compare per
+    candidate) runs only when some row produced a candidate — groups of
+    random data pay only the candidate sorts (~1/10 of a full-width
+    mining sort).
+
+    Adoption demands cov >= n/6 (the coverage at which the emitted
+    stream can beat blosclz's entropy-probe threshold) — weak adoptions
+    would drag near-random rows through the wide emission sort for no
+    ratio. No static-coverage comparison: mining LAYERS on the static
+    class, so a far distance can replace hundreds of short-run tokens
+    even when static coverage is near-total (staircase rows).
+
+    Returns (d_m (N,) i32 with 0 = not adopted, eq_m (N, n) bool).
+    """
+    N, n = s.shape
+    dp = _mine_distance(s[:, :min(n, _MINE_PREFIX)]) if n >= 1024 else \
+        jnp.zeros((N,), I32)
+    if n >= 32768 and n % _FOLD_G == 0:
+        dg = _mine_distance(_fold16(s), 1, max_d // _FOLD_G) * _FOLD_G
+        dg = jnp.where(dg < n, dg, 0)
+    else:
+        dg = jnp.zeros((N,), I32)
+    dp = jnp.where(dp <= max_d, dp, 0)
+
+    def verify(_):
+        eqp = _eq_at(s, jnp.maximum(dp, 1))
+        covp = jnp.where(dp > 0, jnp.sum(eqp.astype(I32), axis=1), -1)
+        eqg = _eq_at(s, jnp.maximum(dg, 1))
+        covg = jnp.where(dg > 0, jnp.sum(eqg.astype(I32), axis=1), -1)
+        use_g = covg > covp
+        d = jnp.where(use_g, dg, dp)
+        cov = jnp.maximum(covg, covp)
+        eq_m = jnp.where(use_g[:, None], eqg, eqp)
+        adopt = (cov >= n // 6) & (d > 0) & (d != d_row[:, 0])
+        return jnp.where(adopt, d, 0), eq_m & adopt[:, None]
+
+    return jax.lax.cond(
+        jnp.any((dp > 0) | (dg > 0)), verify,
+        lambda _: (jnp.zeros((N,), I32), jnp.zeros((N, n), bool)), None)
 
 
 def _eq_at(s: jax.Array, d: jax.Array) -> jax.Array:
@@ -258,19 +328,26 @@ def encode(
     not compress report csize >= n and the caller applies the stored-raw
     rule (blosc.c:705-714).
 
-    Rows are scored once, then emitted in class-sorted groups behind
-    group-level scalar lax.conds: PURE rows (one run covers everything
-    matchable) take the closed-form path; HOPELESS rows (estimated
-    ratio below min_cratio_x100/100 — blosclz's entropy-probe abort,
-    blosclz.c:425-435) report csize = n without paying for emission;
-    everything else runs the scan + sort pipeline.
+    Rows are scored once, then emitted in CLASS-UNIFORM groups (each
+    class's row segment is padded to a multiple of the group size, so a
+    group never mixes classes — mixed boundary groups previously dragged
+    pure/hopeless rows through the wide emission sort and the mining
+    machinery, the round-2 clevel>=5 collapse): PURE rows (one run
+    covers everything matchable) take the closed-form path; HOPELESS
+    rows (estimated ratio below min_cratio_x100/100 — blosclz's
+    entropy-probe abort, blosclz.c:425-435) pay only the dual-miner
+    candidate sorts and report csize = n when nothing is mined (a row
+    can look hopeless to the static probe yet hold large-period
+    structure only mining sees); NORMAL rows run the scan + sort
+    emission, with mined adaptive distances layered in at clevel >= 5.
     """
     N, n = s.shape
     W = slot_width(n)
-    eq, d_row, pure, cov = _score(s, dists)
+    eq, d_row, pure, cov, total = _score(s, dists)
 
     if N <= 8 or n < 8:  # tiny batches: grouping overhead beats the win
-        return _emit_full(s, eq, d_row, mine)
+        mined = mine_group(s, d_row) if (mine and n >= 1024) else None
+        return _emit_full(s, eq, d_row, mined)
 
     # entropy-probe analog: matched bytes ~ cov; emitted ~ literals +
     # token bytes + ctrl overhead
@@ -278,53 +355,91 @@ def encode(
     hopeless = (~pure) & (100 * n < min_cratio_x100 * est_csize)
     cls = jnp.where(pure, 0, jnp.where(hopeless, 2, 1))
 
-    order = jnp.argsort(cls, stable=True)
-    inv = jnp.argsort(order)
-    # class-homogeneous groups only pay their own class's cost, so cap
-    # the group byte size: wide rows get small groups (a 4 MB chunk of
-    # 128 KB splits is 32 rows — one big group would mix classes and
-    # drag every pure/hopeless row through mining + the wide sort)
+    # group size: wide rows get small groups to bound each group's
+    # sort/mining workspace
     gcap = max(8, (4 << 20) // max(n, 1))
     gcap = 1 << (gcap.bit_length() - 1)
     G = min(_PURE_GROUP, gcap, 1 << (N.bit_length() - 1))
-    pad = (-N) % G
-    so = jnp.take(s, order, axis=0)
-    eo = jnp.take(eq, order, axis=0)
-    do = jnp.take(d_row, order, axis=0)
-    co = jnp.take(cls, order)
-    if pad:
-        so = jnp.pad(so, ((0, pad), (0, 0)))
-        eo = jnp.pad(eo, ((0, pad), (0, 0)))
-        do = jnp.pad(do, ((0, pad), (0, 0)), constant_values=1)
-        co = jnp.pad(co, (0, pad), constant_values=1)
-    g = so.shape[0] // G
+
+    # ---- class-aligned layout: segment c occupies padded slots
+    # [base[c], base[c] + counts[c]), base G-aligned, so every G-group
+    # is class-uniform by construction --------------------------------------
+    order = jnp.argsort(cls, stable=True)
+    inv_order = jnp.argsort(order)
+    counts = jnp.stack([jnp.sum((cls == c).astype(I32)) for c in range(3)])
+    padded = -(-counts // G) * G
+    base = jnp.concatenate([jnp.zeros((1,), I32),
+                            jnp.cumsum(padded)[:2].astype(I32)])
+    cum = jnp.concatenate([jnp.zeros((1,), I32),
+                           jnp.cumsum(counts)[:2].astype(I32)])
+    M = (-(-N // G) + 3) * G                 # static slot-count bound
+    j = jnp.arange(M, dtype=I32)
+    c_j = (j >= base[1]).astype(I32) + (j >= base[2]).astype(I32)
+    rank = j - base[c_j]
+    real = rank < counts[c_j]
+    src = jnp.where(real, cum[c_j] + rank, N)
+    src = jnp.take(jnp.concatenate([order, jnp.zeros((1,), I32)]),
+                   jnp.minimum(src, N))
+    live = real
+
+    def pad_rows(a, fill=0):
+        extra = jnp.full((1,) + a.shape[1:], fill, a.dtype)
+        return jnp.take(jnp.concatenate([a, extra]), src, axis=0)
+
+    so = jnp.where(live[:, None], pad_rows(s), 0)
+    eo = jnp.where(live[:, None], pad_rows(eq), False)
+    do = jnp.where(live[:, None], pad_rows(d_row), 1)
+    g = M // G
+    cgrp = c_j.reshape(g, G)[:, 0]
+
+    zero_dm = jnp.zeros((G,), I32)
 
     def emit_group(t):
-        sg, eg, dg, cg = t
+        sg, eg, dg, c0 = t
 
-        def raw_group(_):
-            return (jnp.zeros((G, W), U8),
-                    jnp.full((G,), n, I32),
-                    jnp.zeros((G,), I32))
+        def do_pure(_):
+            sl, cs, es = _emit_pure(sg, dg, W)
+            return sl, cs, es, zero_dm
+
+        def do_normal(_):
+            mined = mine_group(sg, dg) if mine else None
+            sl, cs, es = _emit_full(sg, eg, dg, mined)
+            return sl, cs, es, (mined[0] if mined else zero_dm)
+
+        def do_hopeless(_):
+            raw = (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
+                   jnp.zeros((G,), I32), zero_dm)
+            if not mine:
+                return raw
+            # static-hopeless rows still probe the miners (cheap); only
+            # when something was adopted does the group pay emission
+            mined = mine_group(sg, dg)
+
+            def emit_mined(_):
+                sl, cs, es = _emit_full(sg, eg, dg, mined)
+                return sl, cs, es, mined[0]
+
+            return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
+                                lambda _: raw, None)
 
         return jax.lax.cond(
-            jnp.all(cg == 0),
-            lambda _: _emit_pure(sg, dg, W),
-            lambda _: jax.lax.cond(
-                jnp.all(cg == 2), raw_group,
-                lambda _: _emit_full(sg, eg, dg, mine), None),
-            None)
+            c0 == 0, do_pure,
+            lambda a: jax.lax.cond(a == 2, do_hopeless, do_normal, a),
+            c0)
 
-    slots, csize, est = jax.lax.map(
+    slots, csize, est, dm = jax.lax.map(
         emit_group,
         (so.reshape(g, G, n), eo.reshape(g, G, n),
-         do.reshape(g, G, 1), co.reshape(g, G)),
+         do.reshape(g, G, 1), cgrp),
     )
-    slots = jnp.take(slots.reshape(-1, W)[:N], inv, axis=0)
-    csize = jnp.take(csize.reshape(-1)[:N], inv)
-    est = jnp.take(est.reshape(-1)[:N], inv)
-    # mixed groups still compute hopeless rows: apply the abort uniformly
-    csize = jnp.where(hopeless, n, csize)
+    # row i lives in padded slot base[cls_i] + (sorted rank - class cum)
+    dest = base[cls] + inv_order - cum[cls]
+    slots = jnp.take(slots.reshape(-1, W), dest, axis=0)
+    csize = jnp.take(csize.reshape(-1), dest)
+    est = jnp.take(est.reshape(-1), dest)
+    dm = jnp.take(dm.reshape(-1), dest)
+    # the entropy abort stands unless mining adopted a distance
+    csize = jnp.where(hopeless & (dm == 0), n, csize)
     return slots, csize, est
 
 
@@ -350,25 +465,23 @@ def _segment(eq: jax.Array, min_len, idx: jax.Array):
 
 
 def _emit_full(s: jax.Array, eq: jax.Array, d_row: jax.Array,
-               mine: bool = False):
+               mined=None):
     """Scan + sort emission (any row shape).
 
-    With mine=True a second match class is layered in: runs at the
-    row's mined distance (_mine_distance) claim their positions first
-    and the static-candidate class fills the rest — the batched analog
-    of the reference hash table finding large-period matches
-    (blosclz.c:459-607), including far-distance (> 8191) emission via
-    the 31/255 escape (blosclz.c:733-744).
+    With mined = (d_m, eq_m) from mine_group, a second match class is
+    layered in: runs at the row's mined adaptive distance claim their
+    positions first and the static-candidate class fills the rest — the
+    batched analog of the reference hash table finding large-period
+    matches (blosclz.c:459-607), including far-distance (> 8191)
+    emission via the 31/255 escape (blosclz.c:733-744).
     """
     N, n = s.shape
     W = slot_width(n)
     idx = jnp.arange(n, dtype=I32)
 
     # -- match segmentation ---------------------------------------------------
-    if mine and n >= 1024:
-        d_m = _mine_distance(s)
-        live_m = (d_m > 0) & (d_m < n) & (d_m != d_row[:, 0])
-        eq_m = _eq_at(s, d_m) & live_m[:, None]
+    if mined is not None:
+        d_m, eq_m = mined
         m2, ss2, so2, sl2 = _segment(
             eq_m, jnp.int32(_MINRUN_MINED)[None, None], idx)
         m1, ss1, so1, sl1 = _segment(eq & ~m2, 3, idx)

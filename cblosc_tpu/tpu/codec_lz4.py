@@ -77,46 +77,87 @@ def encode(
         eq0 = jnp.where((best == k)[:, None], eqs[k], eq0)
     d_row0 = jnp.asarray(dists, I32)[best][:, None]
 
+    def mine_g(sg, dg):
+        # LZ4 offsets are 16-bit: cap the miners' reach accordingly
+        return codec.mine_group(sg, dg, max_d=0xFFFF)
+
     if min_cratio_x100 and N > 8 and n >= 8:
         cov = jnp.max(stack, axis=0)
         est_csize = n - cov + cov // 170 + n // 33 + 16
         hopeless = 100 * n < min_cratio_x100 * est_csize
-        order = jnp.argsort(hopeless, stable=True)
-        inv = jnp.argsort(order)
+        cls = hopeless.astype(I32)
+
         gcap = max(8, (4 << 20) // max(n, 1))   # see codec.encode
         gcap = 1 << (gcap.bit_length() - 1)
         G = min(512, gcap, 1 << (N.bit_length() - 1))
-        pad = (-N) % G
-        so = jnp.take(s, order, axis=0)
-        eo = jnp.take(eq0, order, axis=0)
-        do = jnp.take(d_row0, order, axis=0)
-        ho = jnp.take(hopeless, order)
-        if pad:
-            so = jnp.pad(so, ((0, pad), (0, 0)))
-            eo = jnp.pad(eo, ((0, pad), (0, 0)))
-            do = jnp.pad(do, ((0, pad), (0, 0)), constant_values=1)
-            ho = jnp.pad(ho, (0, pad), constant_values=False)
-        g = so.shape[0] // G
+
+        # class-aligned layout (see codec.encode): normal segment then
+        # hopeless segment, both padded to G, so groups never mix
+        order = jnp.argsort(cls, stable=True)
+        inv_order = jnp.argsort(order)
+        counts = jnp.stack(
+            [jnp.sum((cls == c).astype(I32)) for c in range(2)])
+        padded = -(-counts // G) * G
+        base = jnp.concatenate([jnp.zeros((1,), I32),
+                                padded[:1].astype(I32)])
+        cum = jnp.concatenate([jnp.zeros((1,), I32),
+                               counts[:1].astype(I32)])
+        M = (-(-N // G) + 2) * G
+        j = jnp.arange(M, dtype=I32)
+        c_j = (j >= base[1]).astype(I32)
+        rank = j - base[c_j]
+        real = rank < counts[c_j]
+        srcslot = jnp.where(real, cum[c_j] + rank, N)
+        srcrow = jnp.take(jnp.concatenate([order, jnp.zeros((1,), I32)]),
+                          jnp.minimum(srcslot, N))
+
+        def pad_rows(a):
+            return jnp.take(a, srcrow, axis=0)
+
+        so = jnp.where(real[:, None], pad_rows(s), 0)
+        eo = jnp.where(real[:, None], pad_rows(eq0), False)
+        do = jnp.where(real[:, None], pad_rows(d_row0), 1)
+        g = M // G
+        cgrp = c_j.reshape(g, G)[:, 0]
+        zero_dm = jnp.zeros((G,), I32)
 
         def emit_group(t):
-            sg, eg, dg, hg = t
-            return jax.lax.cond(
-                jnp.all(hg),
-                lambda _: (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
-                           jnp.zeros((G,), I32)),
-                lambda _: _emit(sg, eg, dg, mine),
-                None)
+            sg, eg, dg, c0 = t
 
-        slots, csize, est = jax.lax.map(
+            def do_normal(_):
+                mined = mine_g(sg, dg) if mine else None
+                sl, cs, es = _emit(sg, eg, dg, mined)
+                return sl, cs, es, (mined[0] if mined else zero_dm)
+
+            def do_hopeless(_):
+                raw = (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
+                       jnp.zeros((G,), I32), zero_dm)
+                if not mine:
+                    return raw
+                mined = mine_g(sg, dg)
+
+                def emit_mined(_):
+                    sl, cs, es = _emit(sg, eg, dg, mined)
+                    return sl, cs, es, mined[0]
+
+                return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
+                                    lambda _: raw, None)
+
+            return jax.lax.cond(c0 == 0, do_normal, do_hopeless, None)
+
+        slots, csize, est, dm = jax.lax.map(
             emit_group,
             (so.reshape(g, G, n), eo.reshape(g, G, n),
-             do.reshape(g, G, 1), ho.reshape(g, G)))
-        slots = jnp.take(slots.reshape(-1, W)[:N], inv, axis=0)
-        csize = jnp.take(csize.reshape(-1)[:N], inv)
-        est = jnp.take(est.reshape(-1)[:N], inv)
-        csize = jnp.where(hopeless, n, csize)
+             do.reshape(g, G, 1), cgrp))
+        dest = base[cls] + inv_order - cum[cls]
+        slots = jnp.take(slots.reshape(-1, W), dest, axis=0)
+        csize = jnp.take(csize.reshape(-1), dest)
+        est = jnp.take(est.reshape(-1), dest)
+        dm = jnp.take(dm.reshape(-1), dest)
+        csize = jnp.where(hopeless & (dm == 0), n, csize)
         return slots, csize, est
-    return _emit(s, eq0, d_row0, mine)
+    mined = mine_g(s, d_row0) if (mine and n >= 1024) else None
+    return _emit(s, eq0, d_row0, mined)
 
 
 def _segment(eq: jax.Array, min_len, idx: jax.Array, n: int):
@@ -140,12 +181,12 @@ def _segment(eq: jax.Array, min_len, idx: jax.Array, n: int):
 
 
 def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
-          mine: bool = False):
+          mined=None):
     """LZ4 scan + sort emission.
 
-    With mine=True, runs at the row's mined adaptive distance
-    (codec._mine_distance, clamped to the 16-bit offset) claim their
-    positions first and the static class fills the rest — same
+    With mined = (d_m, eq_m) from codec.mine_group (capped to the
+    16-bit offset), runs at the row's mined adaptive distance claim
+    their positions first and the static class fills the rest — same
     two-class layering as the blosclz encoder."""
     N, n = s.shape
     W = slot_width(n)
@@ -153,12 +194,9 @@ def _emit(s: jax.Array, eq: jax.Array, d_row: jax.Array,
 
     # -- match segmentation (LZ4 rules) -------------------------------------
     eq &= idx < n - 5                      # last 5 bytes stay literal
-    if mine and n >= 1024:
-        d_m = codec._mine_distance(s)
-        d_m = jnp.where(d_m > 0xFFFF, 0, d_m)        # 16-bit offsets only
-        live_m = (d_m > 0) & (d_m < n) & (d_m != d_row[:, 0])
-        eq_m = codec._eq_at(s, d_m) & live_m[:, None]
-        eq_m &= idx < n - 5
+    if mined is not None:
+        d_m, eq_m = mined
+        eq_m = eq_m & (idx < n - 5)
         m2, so2, sl2, ro2, el2 = _segment(
             eq_m, jnp.int32(codec._MINRUN_MINED)[None, None], idx, n)
         m1, so1, sl1, ro1, el1 = _segment(eq & ~m2, 4, idx, n)

@@ -64,9 +64,10 @@ def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
     def enc(x):
         return mod.encode(x, codec.DISTANCES, min_cratio_x100, mine)
     rows, n = streams.shape
-    # distance mining adds two n-lane sort operands per row; shrink the
-    # group so transient sort workspace stays bounded
-    group_bytes = _ENCODE_GROUP_BYTES // (4 if mine else 1)
+    # the dual miner's candidate sorts are sub-row-width, but exact
+    # verification still materializes an extra (rows, n) compare; halve
+    # the group so transient workspace stays bounded
+    group_bytes = _ENCODE_GROUP_BYTES // (2 if mine else 1)
     group = max(group_bytes // max(n, 1), 8)
     if rows <= group:
         return enc(streams)

@@ -423,6 +423,90 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
 
 
 # ---------------------------------------------------------------------------
+# Pure-tile fast path: periodic rows at any power-of-two distance <= 256
+# ---------------------------------------------------------------------------
+
+_PUREW = 384    # stream-prefix window holding a <=256-byte literal prefix
+                # plus its control bytes and the match token
+
+
+def pure_tile_eligible(recs, valid, dist, uni, ok, csizes, out_len: int):
+    """Rows of the shape [literal prefix of d bytes][ONE match at
+    distance d covering [d, out_len-1)][1-byte literal tail] with d a
+    power of two <= 256: then out[x] = prefix[x mod d] for x < out_len-1
+    — a broadcast tile, no per-row dynamic ops. This is the dominant
+    shape for shuffled typed data (every byte-plane of a typed ramp or
+    counter collapses to it; our encoder's PURE class emits exactly
+    this, and host/reference encoders emit the same shape for periodic
+    planes). d=1 covers the constant planes the splat path served."""
+    if out_len < 256 or out_len % 256:
+        return jnp.zeros(valid.shape[:1], bool)
+    kind = recs[..., 0]
+    srco = recs[..., 1]
+    dsto = recs[..., 2]
+    ln = recs[..., 3]
+    d = dist[:, None]
+    m = valid & (kind == 1)
+    lit = valid & (kind == 0)
+    lit_pre = lit & (dsto < d)
+    lit_tail = lit & (dsto == out_len - 1)
+    nmatch = jnp.sum(m.astype(I32), axis=1)
+    mlen = jnp.sum(jnp.where(m, ln, 0), axis=1)
+    mdst_ok = jnp.all(~m | (dsto == d), axis=1)
+    mdist_ok = jnp.all(~m | (srco == d), axis=1)
+    cover = jnp.sum(jnp.where(lit_pre, ln, 0), axis=1) == dist
+    inb = jnp.all(~lit_pre | (dsto + ln <= d), axis=1)
+    tail1 = jnp.sum(jnp.where(lit_tail, ln, 0), axis=1) == 1
+    no_other = jnp.all(~lit | lit_pre | lit_tail, axis=1)
+    pow2 = (dist & (dist - 1)) == 0
+    return (ok & uni & (dist >= 1) & (dist <= 256) & pow2
+            & (nmatch == 1) & (mlen == out_len - 1 - dist)
+            & mdst_ok & mdist_ok & cover & inb & tail1 & no_other)
+
+
+def _pure_tile_place(slots, csizes, recs, rec_valid, dist, elig,
+                     out_len: int):
+    """Closed-form output for pure_tile_eligible rows.
+
+    Builds the d-byte pattern with ONE tiny sort over a _PUREW-lane
+    stream prefix (keys (dst << 8 | byte) put prefix literals in output
+    order), expands it to 256 lanes with 8 static bit-clearing passes
+    (pat[j] := pat[j & ~w] wherever d <= w — j mod d for pow2 d without
+    any gather), broadcast-tiles to out_len, and patches the tail byte.
+    ~0.3 ns/B with no per-row dynamic-shape ops — replaces the expand
+    kernel's per-record walks (~500 ns per record) on the rows that
+    dominate shuffled workloads."""
+    N = slots.shape[0]
+    Pw = min(_PUREW, slots.shape[1])
+    pre = slots[:, :Pw]
+    kind = recs[..., 0]
+    dsto = recs[..., 2]
+    d = jnp.maximum(dist, 1)[:, None]
+    lit_pre = rec_valid & elig[:, None] & (kind == 0) & (dsto < d)
+    in_lit, dst_p = _lit_geometry(pre, csizes, recs, lit_pre, out_len)
+    p = jnp.arange(Pw, dtype=I32)[None, :]
+    live = in_lit & (p < csizes[:, None]) & (dst_p >= 0) & (dst_p < d)
+    key = jnp.where(live, (dst_p << 8) | pre.astype(I32), _BIGI)
+    pat = jax.lax.sort(key, dimension=1)[:, :256] & 0xFF
+    col = jnp.arange(256, dtype=I32)[None, :]
+    for k in range(8):
+        w = 1 << k
+        shifted = pat[:, (jnp.arange(256) & ~w)]
+        pat = jnp.where((d <= w) & ((col & w) != 0), shifted, pat)
+    out = jnp.broadcast_to(pat[:, None, :], (N, out_len // 256, 256))
+    out = out.reshape(N, out_len)
+    # tail byte: the single literal with dst == out_len-1 (its source is
+    # the stream byte at that record's src offset)
+    lit_tail = (rec_valid & (kind == 0)
+                & (dsto == out_len - 1))
+    tsrc = jnp.max(jnp.where(lit_tail, recs[..., 1], -1), axis=1)
+    tbyte = jnp.take_along_axis(
+        slots, jnp.clip(tsrc, 0, slots.shape[1] - 1)[:, None], axis=1)[:, 0]
+    out = out.at[:, out_len - 1].set(tbyte.astype(I32))
+    return out.astype(U8), elig
+
+
+# ---------------------------------------------------------------------------
 # Grouped driver
 # ---------------------------------------------------------------------------
 
@@ -573,6 +657,9 @@ def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
     no_splat = (os.environ.get("CBLOSC_TPU_SPLAT") == "0"
                 or out_len < min_splat)
 
+    no_puretile = (os.environ.get("CBLOSC_TPU_PURETILE") == "0"
+                   or out_len < 256 or out_len % 256)
+
     def run(sl, cs):
         recs, dist, uni, okf = walk(sl, cs, out_len, maxrec)
         valid = recs[..., 0] >= 0
@@ -587,7 +674,7 @@ def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
             return _place_and_fill(
                 sl[:, :W], cs, recs, valid, dist, uni, okf, out_len)
 
-        def dispatch(_):
+        def dispatch_splat(_):
             if no_splat:
                 return slow(None)
             # group-level scalar predicate: rows arrive csize-sorted, so
@@ -598,6 +685,18 @@ def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
                 fast,
                 lambda _: _splat_place(sl, cs, recs, valid, splat, out_len),
                 slow,
+                None)
+
+        def dispatch(_):
+            if no_puretile:
+                return dispatch_splat(None)
+            elig = pure_tile_eligible(recs, valid, dist, uni, okf, cs,
+                                      out_len)
+            return jax.lax.cond(
+                jnp.all(elig | (cs <= 0)),
+                lambda _: _pure_tile_place(sl, cs, recs, valid, dist,
+                                           elig, out_len),
+                dispatch_splat,
                 None)
 
         # stored-raw / masked groups (csize 0 everywhere) produce

@@ -244,3 +244,66 @@ def test_splat_slot_margin_max_density(rng):
     got, err = np.asarray(got), np.asarray(err)
     assert not err[3]
     assert bytes(got[3]) == bytes(out)
+
+
+def test_pure_tile_eligibility_and_placement(rng):
+    """The pure-tile fast path (out[x] = prefix[x mod d], one broadcast)
+    must trigger exactly on [d-literal prefix][one match][tail] rows
+    with pow2 d <= 256, and its output must be bit-exact."""
+    n = 2048
+    rows, want = [], []
+    for d in (1, 2, 4, 8, 16, 32, 128, 256):
+        pat = rng.integers(0, 256, d, dtype=np.uint8)
+        rows.append(np.tile(pat, n // d + 1)[:n])
+        want.append(True)
+    rows.append(np.tile(np.array([3, 5, 8], np.uint8), n // 3 + 1)[:n])
+    want.append(False)                       # d=3: not pow2
+    S = np.stack(rows)
+    slots, csizes, _ = codec.encode(jnp.asarray(S))
+    maxrec = structured.max_records(n)
+    W = slots.shape[1]
+    Wpad = -(-(W + structured._MARGIN) // 128) * 128
+    recs, dist, uni, ok = structured._walk_batch(
+        jnp.pad(slots, ((0, 0), (0, Wpad - W))), csizes, n, maxrec)
+    elig = structured.pure_tile_eligible(
+        recs, recs[..., 0] >= 0, dist, uni, ok, csizes, n)
+    elig_np = np.asarray(elig)
+    for i, w in enumerate(want):
+        if w:
+            assert elig_np[i], (i, int(dist[i]))
+    assert not elig_np[-1]
+    out, produced, err = structured.decode(slots, csizes, n)
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out), S)
+
+
+def test_pure_tile_tail_and_geometry_corners(rng):
+    """Tail byte lands exactly; non-multiple-of-256 out_len skips the
+    tile path but still decodes; a whole eligible group round-trips
+    through the byte API."""
+    import cblosc_tpu as b
+
+    # tail byte differs from the pattern
+    n = 4096
+    pat = rng.integers(0, 256, 16, dtype=np.uint8)
+    row = np.tile(pat, n // 16)
+    row[-1] = (int(row[-1]) + 1) % 256
+    S = np.stack([row])
+    slots, csizes, _ = codec.encode(jnp.asarray(S))
+    out, _, err = structured.decode(slots, csizes, n)
+    assert not np.asarray(err).any()
+    assert np.array_equal(np.asarray(out)[0], row)
+
+    # odd out_len: path statically disabled, decode still exact
+    n2 = 1000
+    S2 = np.stack([np.tile(pat, n2 // 16 + 1)[:n2]])
+    sl2, cs2, _ = codec.encode(jnp.asarray(S2))
+    out2, _, err2 = structured.decode(sl2, cs2, n2)
+    assert not np.asarray(err2).any()
+    assert np.array_equal(np.asarray(out2)[0], S2[0])
+
+    # end-to-end: typed ramp data through the public API (pure planes)
+    data = np.arange(1 << 16, dtype=np.uint32).tobytes()
+    chunk = b.compress_ctx(1, 1, 4, data, backend="tpu")
+    assert b.decompress_ctx(chunk, backend="tpu") == data
+    assert b.decompress_ctx(chunk, backend="numpy") == data

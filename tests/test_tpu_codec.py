@@ -111,7 +111,7 @@ def test_pure_closed_form_matches_sort_path(rng):
             rows.append(row)
             want_d.append(d)
         S = jnp.asarray(np.stack(rows))
-        eq, d_row, pure, cov = _score(S, codec.DISTANCES)
+        eq, d_row, pure, cov, total = _score(S, codec.DISTANCES)
         full = _emit_full(S, eq, d_row)
         W = slot_width(n)
         pw = _emit_pure(S, d_row, W)
@@ -145,7 +145,7 @@ def test_encode_grouped_pure_matches_ungrouped(rng):
             rows.append(rng.integers(0, 256, n, dtype=np.uint8))
     S = jnp.asarray(np.stack(rows))
     slots, csize, est = codec.encode(S)
-    eq, d_row, pure, cov = _score(S, codec.DISTANCES)
+    eq, d_row, pure, cov, total = _score(S, codec.DISTANCES)
     slots2, csize2, est2 = _emit_full(S, eq, d_row)
     assert np.array_equal(np.asarray(csize), np.asarray(csize2))
     assert np.array_equal(np.asarray(est), np.asarray(est2))
