@@ -79,23 +79,13 @@ def _load():
             _build_failed = True
             return None
         # Point the engine's dlopen'd zstd at the exact library the numpy
-        # engine uses (the zstandard wheel bundles its own libzstd and
-        # exports the simple API) so both engines emit identical bytes.
+        # engine uses (ops/codecs/zstd_._lib_path exports its choice via
+        # CBLOSC_TPU_ZSTD_LIB) so both engines emit identical bytes.
         if "CBLOSC_TPU_ZSTD_LIB" not in os.environ:
             try:
-                import zstandard as _zstd_mod
+                from ..ops.codecs import zstd_ as _zstd_oracle
 
-                cand = os.path.join(
-                    os.path.dirname(_zstd_mod.__file__),
-                    "_cffi.cpython-312-x86_64-linux-gnu.so")
-                if not os.path.exists(cand):
-                    import glob as _glob
-
-                    hits = _glob.glob(os.path.join(
-                        os.path.dirname(_zstd_mod.__file__), "_cffi*.so"))
-                    cand = hits[0] if hits else ""
-                if cand:
-                    os.environ["CBLOSC_TPU_ZSTD_LIB"] = cand
+                _zstd_oracle._lib_path()
             except Exception:
                 pass
         lib = ctypes.CDLL(_LIB)
