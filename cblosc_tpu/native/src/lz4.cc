@@ -100,12 +100,20 @@ int lz4_encode(const uint8_t* src, int length, uint8_t* dst, int maxout,
     int64_t matchlimit = length - kLastLiterals;
     int64_t ip = 0;
     for (;;) {
-      // search with skip acceleration
+      // search with skip acceleration (lz4.c:1021-1034): first advance is
+      // always 1, then stride `accel` growing every 64 probes; probe only
+      // while the NEXT position stays inside mflimit+1 (byte parity with
+      // the numpy oracle's schedule)
       int64_t attempts = (int64_t)accel << 6;
-      int64_t pos = ip;
+      int64_t step = 1;
+      int64_t fwd = ip;
       int64_t ref = -1;
       for (;;) {
-        if (pos >= limit) break;
+        int64_t pos = fwd;
+        fwd += step;
+        step = attempts >> 6;
+        attempts++;
+        if (fwd > limit + 1) break;
         uint32_t h = hash4(load_u32(src + pos));
         int64_t cand = htab[h];
         htab[h] = (int32_t)pos;
@@ -115,8 +123,6 @@ int lz4_encode(const uint8_t* src, int length, uint8_t* dst, int maxout,
           ip = pos;
           break;
         }
-        pos += attempts >> 6;
-        attempts++;
       }
       if (ref < 0) break;
       while (ip > anchor && ref > 0 && src[ip - 1] == src[ref - 1]) {
@@ -155,37 +161,56 @@ int lz4hc_encode(const uint8_t* src, int length, uint8_t* dst, int maxout,
     std::vector<int32_t> chain((size_t)length, -1);
     int64_t limit = length - kMFLimit;
     int64_t matchlimit = length - kLastLiterals;
+    // insertion watermark: positions < nexti are in the chains once
+    int64_t nexti = 0;
 
-    auto insert = [&](int64_t pos) {
-      uint32_t h = hash4(load_u32(src + pos));
-      chain[pos] = head[h];
-      head[h] = (int32_t)pos;
-    };
-
-    int64_t ip = 0;
-    while (ip < limit) {
-      uint32_t h = hash4(load_u32(src + ip));
-      int64_t cand = head[h];
+    // LAZY matching (defer while a strictly longer match starts at the
+    // next position) — byte parity with ops/codecs/lz4.py:compress_hc
+    auto best_at = [&](int64_t pos, int64_t* best_ref) -> int64_t {
+      while (nexti < pos) {
+        uint32_t h = hash4(load_u32(src + nexti));
+        chain[nexti] = head[h];
+        head[h] = (int32_t)nexti;
+        nexti++;
+      }
+      int64_t cand = head[hash4(load_u32(src + pos))];
       int64_t best_len = 0;
-      int64_t best_ref = -1;
+      *best_ref = -1;
       int tries = depth;
-      int64_t maxm = matchlimit - ip;
-      while (cand >= 0 && ip - cand <= kMaxOffset && tries > 0) {
+      int64_t maxm = matchlimit - pos;
+      while (cand >= 0 && pos - cand <= kMaxOffset && tries > 0) {
         tries--;
-        if (ip + best_len < matchlimit &&
-            src[cand + best_len] == src[ip + best_len]) {
-          int64_t m = prefix_len(src + ip, src + cand, maxm);
+        if (pos + best_len < matchlimit &&
+            src[cand + best_len] == src[pos + best_len]) {
+          int64_t m = prefix_len(src + pos, src + cand, maxm);
           if (m > best_len) {
             best_len = m;
-            best_ref = cand;
+            *best_ref = cand;
           }
         }
         cand = chain[cand];
       }
-      insert(ip);
+      return best_len;
+    };
+
+    int64_t ip = 0;
+    while (ip < limit) {
+      int64_t best_ref;
+      int64_t best_len = best_at(ip, &best_ref);
       if (best_len < kMinMatch) {
         ip++;
         continue;
+      }
+      while (ip + 1 < limit) {
+        int64_t r2;
+        int64_t l2 = best_at(ip + 1, &r2);
+        if (l2 > best_len) {
+          ip++;
+          best_len = l2;
+          best_ref = r2;
+        } else {
+          break;
+        }
       }
       int64_t ref = best_ref;
       while (ip > anchor && ref > 0 && src[ip - 1] == src[ref - 1]) {
@@ -196,8 +221,6 @@ int lz4hc_encode(const uint8_t* src, int length, uint8_t* dst, int maxout,
       op = emit_sequence(op, op_limit, src + anchor, ip - anchor,
                          (int)(ip - ref), best_len);
       if (!op) return 0;
-      int64_t end = ip + best_len < limit ? ip + best_len : limit;
-      for (int64_t p = ip + 1; p < end; p += 1) insert(p);
       ip += best_len;
       anchor = ip;
     }
