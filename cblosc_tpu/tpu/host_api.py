@@ -142,6 +142,10 @@ def _escalated_budget(neblock: int, compcode: int) -> int:
     rows decode on-device through the generic loop decoder."""
     if compcode == C.BLOSCLZ:
         return 0
+    if compcode == C.ZLIB:
+        from . import codec_zlib
+
+        return codec_zlib.high_events(neblock)
     from . import structured
 
     return structured.high_records(neblock)

@@ -38,9 +38,10 @@ U8 = jnp.uint8
 # compcodes with a device codec (LZ4HC chunks carry the LZ4 wire format)
 DEVICE_CODECS = (C.BLOSCLZ, C.LZ4, C.LZ4HC)
 # decode-side coverage is wider: snappy decodes on device via the shared
-# record machinery (tpu/codec_snappy.py); encoding stays on the host
-# engines, as in the reference (external-library wrappers, blosc.c:443-467)
-DEVICE_DECODE_CODECS = DEVICE_CODECS + (C.SNAPPY,)
+# record machinery (tpu/codec_snappy.py) and zlib via the batched DEFLATE
+# FSM (tpu/codec_zlib.py); encoding stays on the host engines, as in the
+# reference (external-library wrappers, blosc.c:443-522)
+DEVICE_DECODE_CODECS = DEVICE_CODECS + (C.SNAPPY, C.ZLIB)
 
 
 def _codec_mod(compcode: int):
@@ -150,12 +151,14 @@ def decompress_blocks(
     # the structured decoder fast-paths uniform-distance streams and falls
     # back to the loop decoder per row otherwise. Row groups bound the
     # sort/fill workspace on large batches (as in _encode_grouped).
-    from . import codec_snappy, structured
+    from . import codec_snappy, codec_zlib, structured
 
     if compcode == C.BLOSCLZ:
         dec0 = structured.decode
     elif compcode == C.SNAPPY:
         dec0 = codec_snappy.decode
+    elif compcode == C.ZLIB:
+        dec0 = codec_zlib.decode
     else:
         dec0 = codec_lz4.decode
 
