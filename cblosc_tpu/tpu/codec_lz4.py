@@ -355,8 +355,11 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     src3 = slots.reshape(R, B, 128).astype(I32)
     T, KCH, WINW, WB = st._T, st._KCH, st._WINW, st._WB
     nchunks = -(-maxrec // (T * KCH))
-    recs0 = jnp.full((R, nchunks * T * KCH, 4), -1, I32)
-    invalid = jnp.full((4,), -1, I32)
+    E = nchunks * T * KCH
+    rk0 = jnp.full((R, E), -1, I32)
+    ra0 = jnp.zeros((R, E), I32)
+    rd0 = jnp.zeros((R, E), I32)
+    rl0 = jnp.zeros((R, E), I32)
     wwi = jnp.arange(WINW, dtype=I32)[None, :]
     swi = jnp.arange(st._SUBW, dtype=I32)[None, :]
 
@@ -368,7 +371,7 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
         win = jnp.where(winc[:, None] + wwi < csizes[:, None], win, 0)
         win16 = win.reshape(R, WINW // 32, 32)
 
-        step_recs = []
+        sk_l, sa_l, sd_l, sl_l = [], [], [], []
         for _t in range(T):
             q = ip - winc
             act = ~(err | fin) & (q <= WINW - st._MARGIN)
@@ -413,8 +416,6 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             op2 = op + jnp.where(do_lit, litlen, 0)
             lit_err = do_lit & ((ip2 > csizes) | (op2 > out_len))
             lit_fin = do_lit & ~lit_err & (ip2 >= csizes)   # final literals
-            rec_lit = jnp.stack(
-                [jnp.zeros_like(ip), ipl, op, litlen], axis=1)
             has_lit = do_lit & ~lit_err & (litlen > 0)
 
             # ---- match side (phases 2/3) ----------------------------------
@@ -431,16 +432,17 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             m_err = m_done & (
                 (offv == 0) | (offv > op) | (op + mlen > out_len)
                 | (ip3 > csizes))
-            rec_m = jnp.stack([jnp.ones_like(ip), offv, op, mlen], axis=1)
 
             # ---- merge + state advance ------------------------------------
             ext_err = (lext_more | mext_more) & (ip + 8 >= csizes)
             err_t = jnp.where(is0 | is1, lit_err, m_err) | ext_err
             good = act & ~err_t
             valid = good & (has_lit | m_done)
-            rec = jnp.where((is0 | is1)[:, None], rec_lit, rec_m)
-            step_recs.append(
-                jnp.where(valid[:, None], rec, invalid[None, :]))
+            is_l = is0 | is1
+            sk_l.append(jnp.where(valid, jnp.where(is_l, 0, 1), -1))
+            sa_l.append(jnp.where(is_l, ipl, offv))
+            sd_l.append(op)
+            sl_l.append(jnp.where(is_l, litlen, mlen))
 
             phase_n = jnp.where(
                 lext_more, 1,
@@ -469,34 +471,37 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             err = err | (act & err_t)
             fin = fin | (good & lit_fin)
 
-        rows = jnp.stack(step_recs, axis=1)
+        rows = tuple(jnp.stack(ls, axis=1)
+                     for ls in (sk_l, sa_l, sd_l, sl_l))
         return (ip, op, phase, mlsave, offsave, extacc, dist, uni, err,
                 fin), rows
 
     def cond(stt):
-        recs, kslot, carry = stt[0], stt[1], stt[2:]
+        kslot, carry = stt[4], stt[5:]
         return jnp.any(~(carry[8] | carry[9])) & (kslot < nchunks)
 
     def body(stt):
-        recs, kslot = stt[0], stt[1]
-        carry, rows = jax.lax.scan(inner, stt[2:], None, length=KCH)
-        rows = jnp.moveaxis(rows, 0, 1).reshape(R, KCH * T, 4)
-        recs = jax.lax.dynamic_update_slice(
-            recs, rows, (0, kslot * KCH * T, 0))
-        return (recs, kslot + 1) + carry
+        rf, kslot = stt[:4], stt[4]
+        carry, rows = jax.lax.scan(inner, stt[5:], None, length=KCH)
+        rf = tuple(
+            jax.lax.dynamic_update_slice(
+                f, jnp.moveaxis(r, 0, 1).reshape(R, KCH * T),
+                (0, kslot * KCH * T))
+            for f, r in zip(rf, rows))
+        return rf + (kslot + 1,) + carry
 
     zero = jnp.zeros((R,), I32)
     stt = jax.lax.while_loop(
         cond, body,
-        (recs0, jnp.int32(0),
+        (rk0, ra0, rd0, rl0, jnp.int32(0),
          zero, zero, zero, zero, zero, zero, zero, zero == 0,
          csizes <= 0, csizes <= 0),
     )
-    recs = stt[0]
-    ip, op, phase, mlsave, offsave, extacc, dist, uni, err, fin = stt[2:]
+    rf = stt[:4]
+    ip, op, phase, mlsave, offsave, extacc, dist, uni, err, fin = stt[5:]
     err = err | ~(err | fin)
     ok = ~err & (op == out_len)
-    return recs, dist, uni, ok
+    return rf, dist, uni, ok
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -509,7 +514,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
     maxrec_hint overrides the record budget (see structured.decode).
     """
     N, W = slots.shape
-    if out_len > MAX_OUT or out_len < 8:
+    if out_len > structured.decode_cap() or out_len < 8:
         return (jnp.zeros((N, out_len), U8),
                 jnp.zeros((N,), I32),
                 csizes > 0)

@@ -69,8 +69,11 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     src3 = slots.reshape(R, B, 128).astype(I32)
     T, KCH, WINW, WB = st._T, st._KCH, st._WINW, st._WB
     nchunks = -(-maxrec // (T * KCH))
-    recs0 = jnp.full((R, nchunks * T * KCH, 4), -1, I32)
-    invalid = jnp.full((4,), -1, I32)
+    E = nchunks * T * KCH
+    rk0 = jnp.full((R, E), -1, I32)
+    ra0 = jnp.zeros((R, E), I32)
+    rd0 = jnp.zeros((R, E), I32)
+    rl0 = jnp.zeros((R, E), I32)
     wwi = jnp.arange(WINW, dtype=I32)[None, :]
     swi = jnp.arange(st._SUBW, dtype=I32)[None, :]
 
@@ -97,7 +100,7 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
         win = jnp.where(winc[:, None] + wwi < csizes[:, None], win, 0)
         win16 = win.reshape(R, WINW // 32, 32)
 
-        step_recs = []
+        sk_l, sa_l, sd_l, sl_l = [], [], [], []
         for _t in range(T):
             q = ip - winc
             act = ~(err | fin) & (q <= WINW - st._MARGIN)
@@ -129,8 +132,6 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             ip2 = ipl + lit_len
             op2 = op + lit_len
             lit_err = lit_big | (ip2 > csizes) | (op2 > out_len)
-            rec_lit = jnp.stack([jnp.zeros_like(ip), ipl, op, lit_len],
-                                axis=1)
 
             # ---- copy (typ 1/2/3) -----------------------------------------
             is_c1 = typ == 1
@@ -143,14 +144,14 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             ip3 = ip + jnp.where(is_c1, 2, jnp.where(is_c2, 3, 5))
             m_err = (off_big | (off == 0) | (off > op)
                      | (op + mlen > out_len) | (ip3 > csizes))
-            rec_m = jnp.stack([jnp.ones_like(ip), off, op, mlen], axis=1)
 
             # ---- merge + state advance ------------------------------------
             err_t = jnp.where(is_lit, lit_err, m_err)
             good = act & ~err_t
-            rec = jnp.where(is_lit[:, None], rec_lit, rec_m)
-            step_recs.append(jnp.where(good[:, None], rec,
-                                       invalid[None, :]))
+            sk_l.append(jnp.where(good, jnp.where(is_lit, 0, 1), -1))
+            sa_l.append(jnp.where(is_lit, ipl, off))
+            sd_l.append(op)
+            sl_l.append(jnp.where(is_lit, lit_len, mlen))
 
             ip_n = jnp.where(is_lit, ip2, ip3)
             op_n = jnp.where(is_lit, op2, op + mlen)
@@ -166,34 +167,37 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             err = err | (act & err_t)
             fin = fin | (good & fin_t)
 
-        rows = jnp.stack(step_recs, axis=1)
+        rows = tuple(jnp.stack(ls, axis=1)
+                     for ls in (sk_l, sa_l, sd_l, sl_l))
         return (ip, op, dist, uni, err, fin), rows
 
     def cond(stt):
-        recs, kslot, carry = stt[0], stt[1], stt[2:]
+        kslot, carry = stt[4], stt[5:]
         return jnp.any(~(carry[4] | carry[5])) & (kslot < nchunks)
 
     def body(stt):
-        recs, kslot = stt[0], stt[1]
-        carry, rows = jax.lax.scan(inner, stt[2:], None, length=KCH)
-        rows = jnp.moveaxis(rows, 0, 1).reshape(R, KCH * T, 4)
-        recs = jax.lax.dynamic_update_slice(
-            recs, rows, (0, kslot * KCH * T, 0))
-        return (recs, kslot + 1) + carry
+        rf, kslot = stt[:4], stt[4]
+        carry, rows = jax.lax.scan(inner, stt[5:], None, length=KCH)
+        rf = tuple(
+            jax.lax.dynamic_update_slice(
+                f, jnp.moveaxis(r, 0, 1).reshape(R, KCH * T),
+                (0, kslot * KCH * T))
+            for f, r in zip(rf, rows))
+        return rf + (kslot + 1,) + carry
 
     zero = jnp.zeros((R,), I32)
     live = csizes > 0
     stt = jax.lax.while_loop(
         cond, body,
-        (recs0, jnp.int32(0),
+        (rk0, ra0, rd0, rl0, jnp.int32(0),
          nv, zero, zero, zero == 0,
          live & pre_err, ~live),
     )
-    recs = stt[0]
-    ip, op, dist, uni, err, fin = stt[2:]
+    rf = stt[:4]
+    ip, op, dist, uni, err, fin = stt[5:]
     err = err | ~(err | fin)
     ok = ~err & (op == out_len)
-    return recs, dist, uni, ok
+    return rf, dist, uni, ok
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -207,7 +211,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
     (see structured.decode).
     """
     N, W = slots.shape
-    if out_len > MAX_OUT or out_len < 8:
+    if out_len > structured.decode_cap() or out_len < 8:
         return (jnp.zeros((N, out_len), U8),
                 jnp.zeros((N,), I32),
                 csizes > 0)

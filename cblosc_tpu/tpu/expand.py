@@ -42,7 +42,11 @@ U8 = jnp.uint8
 
 _CH = 32           # chunk sublanes (4 KB)
 _SPAD = _CH + 8    # scratch padding sublanes (window overread room)
-MAX_OUT = 1 << 18  # VMEM budget cap (256 KB rows: ~2.2 MB resident)
+# kernel VMEM cap: 512 KB rows measured OK on v5e (scratch/
+# r2_probe_expand_512k.py: ~8 MB resident, 45.9 ms steady-state);
+# the sort/splat machines keep their own 2^18 key-packing cap
+# (structured.MAX_OUT)
+MAX_OUT = 1 << 19
 
 
 def _make_kernel(WB: int, OB: int, maxrec: int):
@@ -121,10 +125,23 @@ def _make_kernel(WB: int, OB: int, maxrec: int):
 
         def rec_body(state):
             k, _ = state
-            kind = recs_ref[0, k, 0]
-            a = recs_ref[0, k, 1]
-            d0 = jnp.clip(recs_ref[0, k, 2], 0, out_bytes - 1)
-            L = jnp.clip(recs_ref[0, k, 3], 0, out_bytes - d0)
+            # records are packed 32-per-sublane (lanes (k%32)*4..+3): ONE
+            # dynamic-sublane load + four masked reductions replaces four
+            # scalar loads AND keeps the VMEM block lane-dense — the naive
+            # (maxrec, 4) block is lane-padded 4->128 by Mosaic, which blew
+            # the 16 MB scoped-vmem limit at escalated record budgets
+            # (measured: 2 * maxrec * 512 B scoped; 70144 recs -> 68.8 MB)
+            row = recs_ref[0, pl.ds(k >> 5, 1), :]
+            lane128 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+            basel = (k & 31) * 4
+
+            def fld(i):
+                return jnp.sum(jnp.where(lane128 == basel + i, row, 0))
+
+            kind = fld(0)
+            a = fld(1)
+            d0 = jnp.clip(fld(2), 0, out_bytes - 1)
+            L = jnp.clip(fld(3), 0, out_bytes - d0)
             low = kind & 0xF
 
             @pl.when((low == 0) & (kind >= 0) & (L > 0))
@@ -156,7 +173,7 @@ def _make_kernel(WB: int, OB: int, maxrec: int):
             @pl.when(low == 2)
             def _():
                 nb = jnp.clip(kind >> 4, 0, 8)
-                w1 = recs_ref[0, k, 3]
+                w1 = fld(3)
 
                 def ins_chunk(c, _):
                     cb = jnp.minimum(c, nchunks_out - 1) * _CH
@@ -181,42 +198,71 @@ def _make_kernel(WB: int, OB: int, maxrec: int):
     return kernel
 
 
-def compact_records(recs: jax.Array) -> jax.Array:
+def _as_fields(recs):
+    """Accept records as a field tuple (kind, arg, dst, len) of (N, R)
+    arrays — the canonical form; (N, R, 4) arrays lane-pad 4->128 in the
+    TPU HBM layout — or as a legacy (N, R, 4) array (tests, probes)."""
+    if isinstance(recs, (tuple, list)):
+        return tuple(recs)
+    return tuple(recs[..., i] for i in range(4))
+
+
+def compact_records(recs):
     """Move valid records (kind >= 0) to the front, preserving order.
-    One small per-row two-operand sort over the record slots."""
-    N, R, _ = recs.shape
+    One small per-row multi-operand sort over the record slots."""
+    rf = _as_fields(recs)
+    N, R = rf[0].shape
     idx = jnp.arange(R, dtype=I32)[None, :]
-    invalid = recs[:, :, 0] < 0
-    keys = jnp.where(invalid, (1 << 24) | idx, idx)
-    packed = tuple(recs[..., i] for i in range(4))
-    _, r0, r1, r2, r3 = jax.lax.sort(
-        (keys,) + packed, dimension=1, num_keys=1)
-    return jnp.stack([r0, r1, r2, r3], axis=-1)
+    keys = jnp.where(rf[0] < 0, (1 << 24) | idx, idx)
+    return jax.lax.sort((keys,) + rf, dimension=1, num_keys=1)[1:]
 
 
 @partial(jax.jit, static_argnums=(2,), static_argnames=("interpret",))
-def expand(slots: jax.Array, recs: jax.Array, out_len: int,
+def expand(slots: jax.Array, recs, out_len: int,
            interpret: bool = False) -> jax.Array:
     """Materialize rows from compacted records.
 
-    slots: uint8 (N, W) compressed rows (any W); recs: int32
-    (N, maxrec, 4) COMPACTED records. Returns uint8 (N, out_len).
+    slots: uint8 (N, W) compressed rows (any W); recs: COMPACTED records
+    as a field tuple of int32 (N, maxrec) arrays (or a legacy
+    (N, maxrec, 4) array). Returns uint8 (N, out_len).
     """
+    rf = _as_fields(recs)
     N, W = slots.shape
-    maxrec = recs.shape[1]
+    R = rf[0].shape[1]
+    # pack 32 records per 128-lane sublane row (lane-dense; see rec_body):
+    # record k's fields land at lanes (k%32)*4 .. +3 of sublane k//32.
+    # Built from the field arrays with repeat+select — never materializing
+    # an (N, R, 4) array, whose minor dim would lane-pad 4->128 (32x).
+    # Padding records carry kind=-1, the stop marker, so a fully-populated
+    # row set still terminates at the first pad slot.
+    RP = -(-R // 32) * 32
+    if RP != R:
+        fills = (-1, 0, 0, 0)
+        rf = tuple(
+            jnp.pad(f, ((0, 0), (0, RP - R)), constant_values=v)
+            for f, v in zip(rf, fills))
+    lane4 = jnp.arange(128, dtype=I32)[None, None, :] & 3
+
+    def spread(f):
+        return jnp.repeat(f.reshape(N, RP // 32, 32), 4, axis=2)
+
+    packed = jnp.where(
+        lane4 == 0, spread(rf[0]),
+        jnp.where(lane4 == 1, spread(rf[1]),
+                  jnp.where(lane4 == 2, spread(rf[2]), spread(rf[3]))))
     OB = -(-out_len // 4096) * _CH             # output blocks, chunk-aligned
     WB = max(-(-W // 128) + _CH + 8, _CH + 8)  # window overread room
     src3 = jnp.pad(slots, ((0, 0), (0, WB * 128 - W))).reshape(
         N, WB, 128).astype(I32)
 
     out = pl.pallas_call(
-        _make_kernel(WB, OB, maxrec),
+        _make_kernel(WB, OB, RP),
         grid=(N,),
-        in_specs=[pl.BlockSpec((1, maxrec, 4), lambda r: (r, 0, 0)),
+        in_specs=[pl.BlockSpec((1, RP // 32, 128), lambda r: (r, 0, 0)),
                   pl.BlockSpec((1, WB, 128), lambda r: (r, 0, 0))],
         out_specs=pl.BlockSpec((1, OB, 128), lambda r: (r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, OB, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((OB + _SPAD, 128), jnp.int32)],
         interpret=interpret,
-    )(recs, src3)
+    )(packed, src3)
     return out.reshape(N, OB * 128)[:, :out_len].astype(U8)

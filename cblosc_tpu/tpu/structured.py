@@ -108,10 +108,15 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     """Parse a batch of blosclz streams into records.
 
     slots: uint8 (R, W) with W % 128 == 0 and W >= csize + _MARGIN,
-    rows zero past csize. Returns (recs (R, slots, 4) i32 as [kind,
-    src_off, dst_off, len] with kind == -1 marking empty slots, dist,
-    ok). Record kinds: 0 = literal chunk (contiguous bytes at src_off),
-    1 = match (src_off carries the distance).
+    rows zero past csize. Returns (rf, dist, uni, ok) where rf is the
+    FIELD-TUPLE record form: four i32 (R, slots) arrays (kind, arg,
+    dst_off, len) with kind == -1 marking empty slots. Record kinds:
+    0 = literal chunk (arg = src_off), 1 = match (arg = distance).
+    Fields travel as separate 2D arrays because any materialized
+    (R, slots, 4) array is lane-padded 4->128 by the TPU HBM layout —
+    a 32x traffic blowup the round-3 profiling measured as ~100 ms per
+    64 MB on the whole-batch placement path (and the walk's own
+    while-loop carry).
 
     Each iteration reads ONE aligned 512-byte window per row via masked
     reductions over the row's 128-lane blocks (gather-free) and parses
@@ -126,8 +131,11 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     src3 = slots.reshape(R, B, 128).astype(I32)
     srci = slots.astype(I32)
     nchunks = -(-maxrec // (_T * _KCH))
-    recs0 = jnp.full((R, nchunks * _T * _KCH, 4), -1, I32)
-    invalid = jnp.full((4,), -1, I32)
+    E = nchunks * _T * _KCH
+    rk0 = jnp.full((R, E), -1, I32)
+    ra0 = jnp.zeros((R, E), I32)
+    rd0 = jnp.zeros((R, E), I32)
+    rl0 = jnp.zeros((R, E), I32)
 
     wwi = jnp.arange(_WINW, dtype=I32)[None, :]
     swi = jnp.arange(_SUBW, dtype=I32)[None, :]
@@ -142,7 +150,7 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
         win = jnp.where(winc[:, None] + wwi < csizes[:, None], win, 0)
         win16 = win.reshape(R, _WINW // 32, 32)
 
-        step_recs = []
+        sk_l, sa_l, sd_l, sl_l = [], [], [], []
         for _t in range(_T):
             q = ip - winc
             act = ~(err | fin) & (q <= _WINW - _MARGIN)
@@ -165,7 +173,6 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             lit_err = (op2 > out_len) | (ip2 > csizes)
             lit_fin = (ip2 >= csizes) & ~lit_err
             tok_lit = sel(sq + llen)           # token after the literals
-            rec_lit = jnp.stack([jnp.zeros_like(ip), ip, op, llen], axis=1)
 
             # ---- match branch: token >= 32 --------------------------------
             mbase = (token >> 5) - 1
@@ -195,15 +202,15 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             )
             ext_err = ext_more & (ip + 8 >= csizes)
             tok_m = sel(sq + eoff + 1 + jnp.where(far, 2, 0))
-            rec_m = jnp.stack(
-                [jnp.ones_like(ip), bk, op, mlen], axis=1)
 
             # ---- merge + state advance ------------------------------------
             err_t = jnp.where(is_lit, lit_err, m_err | ext_err)
             good = act & ~err_t
             valid = good & (is_lit | m_ok)
-            rec = jnp.where(is_lit[:, None], rec_lit, rec_m)
-            step_recs.append(jnp.where(valid[:, None], rec, invalid[None, :]))
+            sk_l.append(jnp.where(valid, jnp.where(is_lit, 0, 1), -1))
+            sa_l.append(jnp.where(is_lit, ip, bk))
+            sd_l.append(op)
+            sl_l.append(jnp.where(is_lit, llen, mlen))
 
             ip_n = jnp.where(
                 is_lit,
@@ -226,33 +233,36 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             err = err | (act & err_t)
             fin = fin | (good & fin_t)
 
-        rows = jnp.stack(step_recs, axis=1)      # (R, _T, 4)
+        rows = tuple(jnp.stack(ls, axis=1)       # 4 x (R, _T)
+                     for ls in (sk_l, sa_l, sd_l, sl_l))
         return (ip, op, token, extacc, dist, uni, err, fin), rows
 
     def cond(st):
-        recs, kslot, carry = st[0], st[1], st[2:]
+        kslot, carry = st[4], st[5:]
         return jnp.any(~(carry[6] | carry[7])) & (kslot < nchunks)
 
     def body(st):
-        recs, kslot = st[0], st[1]
-        carry, rows = jax.lax.scan(inner, st[2:], None, length=_KCH)
-        rows = jnp.moveaxis(rows, 0, 1).reshape(R, _KCH * _T, 4)
-        recs = jax.lax.dynamic_update_slice(
-            recs, rows, (0, kslot * _KCH * _T, 0))
-        return (recs, kslot + 1) + carry
+        rf, kslot = st[:4], st[4]
+        carry, rows = jax.lax.scan(inner, st[5:], None, length=_KCH)
+        rf = tuple(
+            jax.lax.dynamic_update_slice(
+                f, jnp.moveaxis(r, 0, 1).reshape(R, _KCH * _T),
+                (0, kslot * _KCH * _T))
+            for f, r in zip(rf, rows))
+        return rf + (kslot + 1,) + carry
 
     zero = jnp.zeros((R,), I32)
     st = jax.lax.while_loop(
         cond, body,
-        (recs0, jnp.int32(0),
+        (rk0, ra0, rd0, rl0, jnp.int32(0),
          zero + 1, zero, srci[:, 0] & 31, zero, zero, zero == 0,
          csizes <= 0, csizes <= 1),
     )
-    recs = st[0]
-    ip, op, token, extacc, dist, uni, err, fin = st[2:]
+    rf = st[:4]
+    ip, op, token, extacc, dist, uni, err, fin = st[5:]
     err = err | ~(err | fin)            # ran out of chunks: unhandled
     ok = ~err & (op == out_len)
-    return recs, dist, uni, ok
+    return rf, dist, uni, ok
 
 
 # ---------------------------------------------------------------------------
@@ -263,23 +273,23 @@ def _segment_fill(n_cols: int, starts, keys, N: int):
     """Sparse scatter of `keys` at `starts` (both (N, R), invalid entries
     must carry start == n_cols) into (N, n_cols), then a cummax forward
     fill. Keys must embed the position in their high bits so cummax
-    holds the latest marker."""
+    holds the latest marker. Colliding starts resolve to the LARGER key
+    (scatter-max): a segment's end marker may land on the next segment's
+    start when segments are contiguous (tape-sourced zlib records), and
+    start keys are constructed >= end markers at the same position."""
     base = (jnp.arange(N, dtype=I32) * n_cols)[:, None]
     gi = jnp.where(starts < n_cols, base + starts, N * n_cols).reshape(-1)
-    flat = jnp.zeros((N * n_cols,), jnp.uint32).at[gi].set(
+    flat = jnp.zeros((N * n_cols,), jnp.uint32).at[gi].max(
         keys.reshape(-1).astype(jnp.uint32), mode="drop")
     return jax.lax.cummax(flat.reshape(N, n_cols), axis=1)
 
 
-def _lit_geometry(slots, csizes, recs, valid, out_len: int):
+def _lit_geometry(slots, csizes, rf, valid, out_len: int):
     """Per compressed position p: (in_lit, dst_p) — is p a literal byte,
     and which output position does it land at. One or two segment fills
     depending on the position/delta bit budget."""
     N, Wc = slots.shape
-    kind = recs[..., 0]
-    srco = recs[..., 1]
-    dsto = recs[..., 2]
-    ln = recs[..., 3]
+    kind, srco, dsto, ln = rf
     lit = valid & (kind == 0)
     rdelta = (dsto - srco + out_len).astype(jnp.uint32)  # in [1, 2*out_len)
     u_src = srco.astype(jnp.uint32)
@@ -314,17 +324,16 @@ def _lit_geometry(slots, csizes, recs, valid, out_len: int):
     return in_lit, dst_p
 
 
-def _place_and_fill(slots, csizes, recs, rec_valid, dist, uni, ok,
+def _place_and_fill(slots, csizes, rf, rec_valid, dist, uni, ok,
                     out_len: int):
     """Batched skeleton construction + residue-column forward fill.
     rec_valid: (N, R) bool mask of live record slots. Requires one
     uniform distance per row (`uni`). Returns (out, handled)."""
     N, Wc = slots.shape
     valid = rec_valid & ok[:, None]
-    kind = recs[..., 0]
-    dsto = recs[..., 2]
+    kind, _, dsto, _ = rf
 
-    in_lit, dst_p = _lit_geometry(slots, csizes, recs, valid, out_len)
+    in_lit, dst_p = _lit_geometry(slots, csizes, rf, valid, out_len)
 
     # --- output-space fill: match mask ------------------------------------
     mstarts = jnp.where(valid, dsto, out_len)
@@ -391,7 +400,7 @@ _PREFIX = 1024      # splat rows carry their whole stream in this prefix
                     # emits ~780 B: 255-extension bytes alone are n/255)
 
 
-def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
+def _splat_place(slots, csizes, rf, rec_valid, handled, out_len: int):
     """Closed-form output for rows whose stream fits in _PREFIX bytes and
     whose matches are all distance 1 (or absent): out[x] = the latest
     literal byte at or above x, i.e. one sparse scatter of the <= 64
@@ -407,10 +416,10 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
     # single >= 335-byte step — impossible together with max token
     # density. The +32 is belt-and-braces for the boundary case
     # (test_splat_slot_margin_max_density pins a 510-record stream).
-    nslot = min(prefix // 2 + 32, recs.shape[1])
-    r = recs[:, :nslot]
+    nslot = min(prefix // 2 + 32, rf[0].shape[1])
+    r4 = tuple(f[:, :nslot] for f in rf)
     rv = rec_valid[:, :nslot] & handled[:, None]
-    in_lit, dst_p = _lit_geometry(pre, csizes, r, rv, out_len)
+    in_lit, dst_p = _lit_geometry(pre, csizes, r4, rv, out_len)
     p = jnp.arange(prefix, dtype=I32)[None, :]
     live = in_lit & (p < csizes[:, None])
     key = jnp.where(live, (dst_p << 8) | pre.astype(I32), 0)
@@ -428,9 +437,11 @@ def _splat_place(slots, csizes, recs, rec_valid, handled, out_len: int):
 
 _PUREW = 384    # stream-prefix window holding a <=256-byte literal prefix
                 # plus its control bytes and the match token
+_TILE_K = 8     # record slots the tile geometry scans (see
+                # pure_tile_eligible's `lead` condition)
 
 
-def pure_tile_eligible(recs, valid, dist, uni, ok, csizes, out_len: int):
+def pure_tile_eligible(rf, valid, dist, uni, ok, csizes, out_len: int):
     """Rows of the shape [literal prefix of d bytes][ONE match at
     distance d covering [d, out_len-1)][1-byte literal tail] with d a
     power of two <= 256: then out[x] = prefix[x mod d] for x < out_len-1
@@ -441,10 +452,7 @@ def pure_tile_eligible(recs, valid, dist, uni, ok, csizes, out_len: int):
     planes). d=1 covers the constant planes the splat path served."""
     if out_len < 256 or out_len % 256:
         return jnp.zeros(valid.shape[:1], bool)
-    kind = recs[..., 0]
-    srco = recs[..., 1]
-    dsto = recs[..., 2]
-    ln = recs[..., 3]
+    kind, srco, dsto, ln = rf
     d = dist[:, None]
     m = valid & (kind == 1)
     lit = valid & (kind == 0)
@@ -459,12 +467,20 @@ def pure_tile_eligible(recs, valid, dist, uni, ok, csizes, out_len: int):
     tail1 = jnp.sum(jnp.where(lit_tail, ln, 0), axis=1) == 1
     no_other = jnp.all(~lit | lit_pre | lit_tail, axis=1)
     pow2 = (dist & (dist - 1)) == 0
+    # prefix literals must sit in the first _TILE_K record slots so the
+    # placement can compute their geometry with K direct compares
+    # instead of the scatter-based segment fill (TPU scatters measured
+    # 98.8 ms per 64 MB batch vs ~1 ms for the compares; records are in
+    # output order, so prefix literals lead — K=8 covers every stream
+    # our encoders or the reference emit for a <=256 B prefix)
+    slot = jnp.arange(kind.shape[1], dtype=I32)[None, :]
+    lead = jnp.all(~lit_pre | (slot < _TILE_K), axis=1)
     return (ok & uni & (dist >= 1) & (dist <= 256) & pow2
             & (nmatch == 1) & (mlen == out_len - 1 - dist)
-            & mdst_ok & mdist_ok & cover & inb & tail1 & no_other)
+            & mdst_ok & mdist_ok & cover & inb & tail1 & no_other & lead)
 
 
-def _pure_tile_place(slots, csizes, recs, rec_valid, dist, elig,
+def _pure_tile_place(slots, csizes, rf, rec_valid, dist, elig,
                      out_len: int):
     """Closed-form output for pure_tile_eligible rows.
 
@@ -479,12 +495,23 @@ def _pure_tile_place(slots, csizes, recs, rec_valid, dist, elig,
     N = slots.shape[0]
     Pw = min(_PUREW, slots.shape[1])
     pre = slots[:, :Pw]
-    kind = recs[..., 0]
-    dsto = recs[..., 2]
+    kind, srco_f, dsto, ln_f = rf
     d = jnp.maximum(dist, 1)[:, None]
     lit_pre = rec_valid & elig[:, None] & (kind == 0) & (dsto < d)
-    in_lit, dst_p = _lit_geometry(pre, csizes, recs, lit_pre, out_len)
+    # prefix-literal geometry by direct compare over the first _TILE_K
+    # record slots (eligibility guarantees they hold every prefix
+    # literal) — replaces the scatter-based _lit_geometry, whose
+    # segment-fill scatter measured 98.8 ms per 64 MB whole-batch call
     p = jnp.arange(Pw, dtype=I32)[None, :]
+    in_lit = jnp.zeros((N, Pw), bool)
+    dst_p = jnp.full((N, Pw), -1, I32)
+    for r in range(min(_TILE_K, kind.shape[1])):
+        s = srco_f[:, r:r + 1]
+        e = s + ln_f[:, r:r + 1]
+        off = dsto[:, r:r + 1] - s
+        m = lit_pre[:, r:r + 1] & (s <= p) & (p < e)
+        in_lit |= m
+        dst_p = jnp.where(m, p + off, dst_p)
     live = in_lit & (p < csizes[:, None]) & (dst_p >= 0) & (dst_p < d)
     key = jnp.where(live, (dst_p << 8) | pre.astype(I32), _BIGI)
     pat = jax.lax.sort(key, dimension=1)[:, :256] & 0xFF
@@ -493,17 +520,24 @@ def _pure_tile_place(slots, csizes, recs, rec_valid, dist, elig,
         w = 1 << k
         shifted = pat[:, (jnp.arange(256) & ~w)]
         pat = jnp.where((d <= w) & ((col & w) != 0), shifted, pat)
-    out = jnp.broadcast_to(pat[:, None, :], (N, out_len // 256, 256))
-    out = out.reshape(N, out_len)
     # tail byte: the single literal with dst == out_len-1 (its source is
     # the stream byte at that record's src offset)
     lit_tail = (rec_valid & (kind == 0)
                 & (dsto == out_len - 1))
-    tsrc = jnp.max(jnp.where(lit_tail, recs[..., 1], -1), axis=1)
+    tsrc = jnp.max(jnp.where(lit_tail, srco_f, -1), axis=1)
     tbyte = jnp.take_along_axis(
-        slots, jnp.clip(tsrc, 0, slots.shape[1] - 1)[:, None], axis=1)[:, 0]
-    out = out.at[:, out_len - 1].set(tbyte.astype(I32))
-    return out.astype(U8), elig
+        slots, jnp.clip(tsrc, 0, slots.shape[1] - 1)[:, None], axis=1)
+    # tile in uint8 and patch the tail in the same pass — the output
+    # write is the dominant cost of this path, so it must be ONE
+    # byte-wide streaming pass (an int32 broadcast + scatter measured 2x
+    # slower than the whole expand-kernel path it replaces)
+    pat8 = pat.astype(U8)
+    tiles = out_len // 256
+    out = jnp.broadcast_to(pat8[:, None, :], (N, tiles, 256))
+    tile_i = jnp.arange(tiles, dtype=I32)[None, :, None]
+    is_tail = (tile_i == tiles - 1) & (col[:, None, :] == 255)
+    out = jnp.where(is_tail, tbyte.astype(U8)[:, :, None], out)
+    return out.reshape(N, out_len), elig
 
 
 # ---------------------------------------------------------------------------
@@ -542,22 +576,29 @@ def merge_factor(R: int, out_len: int) -> int:
     return m
 
 
-def merge_rows(sl: jax.Array, recs: jax.Array, ok: jax.Array,
-               out_len: int, m: int):
+def stack_records(rf) -> jax.Array:
+    """(kind, arg, dst, len) field tuple -> (N, R, 4) array. Test/debug
+    helper ONLY: the stacked form lane-pads 4->128 in TPU HBM layouts."""
+    return jnp.stack(tuple(rf), axis=-1)
+
+
+def merge_rows(sl: jax.Array, rf, ok: jax.Array, out_len: int, m: int):
     """Fuse m consecutive rows into one virtual row for the expand
     kernel. Records of not-ok rows are invalidated (their subranges
     hold garbage; the caller's handled mask falls those rows back)."""
+    if not isinstance(rf, (tuple, list)):
+        rf = tuple(rf[..., i] for i in range(4))
     R, Wp = sl.shape
+    E = rf[0].shape[1]
     k = jnp.arange(R, dtype=I32) % m
-    kind = jnp.where(ok[:, None], recs[..., 0], -1)
-    src = recs[..., 1] + jnp.where(kind == 0, (k * Wp)[:, None], 0)
-    dst = recs[..., 2] + (k * out_len)[:, None]
-    rcm = jnp.stack([kind, src, dst, recs[..., 3]], axis=-1)
-    return (sl.reshape(R // m, m * Wp),
-            rcm.reshape(R // m, m * recs.shape[1], 4))
+    kind = jnp.where(ok[:, None], rf[0], -1)
+    src = rf[1] + jnp.where(kind == 0, (k * Wp)[:, None], 0)
+    dst = rf[2] + (k * out_len)[:, None]
+    rfm = tuple(a.reshape(R // m, m * E) for a in (kind, src, dst, rf[3]))
+    return sl.reshape(R // m, m * Wp), rfm
 
 
-def kernel_place_rows(sl: jax.Array, recs: jax.Array, ok: jax.Array,
+def kernel_place_rows(sl: jax.Array, rf, ok: jax.Array,
                       out_len: int, W: int):
     """Shared expand-kernel placement: merge small rows, expand, split."""
     from . import expand as expand_mod
@@ -567,12 +608,23 @@ def kernel_place_rows(sl: jax.Array, recs: jax.Array, ok: jax.Array,
     m = merge_factor(R, out_len)
     if m <= 1:
         return expand_mod.expand(
-            sl[:, :W], expand_mod.compact_records(recs), out_len,
+            sl[:, :W], expand_mod.compact_records(rf), out_len,
             interpret=interp)
-    slm, rcm = merge_rows(sl, recs, ok, out_len, m)
-    out = expand_mod.expand(slm, expand_mod.compact_records(rcm),
+    slm, rfm = merge_rows(sl, rf, ok, out_len, m)
+    out = expand_mod.expand(slm, expand_mod.compact_records(rfm),
                             m * out_len, interpret=interp)
     return out.reshape(R, out_len)
+
+
+def decode_cap() -> int:
+    """Largest out_len the structured device decode handles. The XLA
+    sort/splat machines cap at MAX_OUT (2^18, key packing); the Pallas
+    expand kernel extends to expand.MAX_OUT (2^19, VMEM-probed), so
+    dont_split reference geometries with 512 KB splits stay on device
+    instead of falling to the generic loop decoder."""
+    from . import expand as expand_mod
+
+    return expand_mod.MAX_OUT if use_expand_kernel() else MAX_OUT
 
 
 def use_expand_kernel() -> bool:
@@ -593,7 +645,19 @@ def use_expand_kernel() -> bool:
 
 def _group_rows(out_len: int, maxrec: int = 0) -> int:
     # per-row workspace: sort/fill operands (~9 B/output byte) plus the
-    # record array and its compaction copy (16 B per record each)
+    # record array and its compaction copy (16 B per record each).
+    # The cap bounds SEQUENTIAL lax.map depth: at the clevel-1 bench
+    # geometry (2 KB rows) a 1024 cap means 32 sequential groups per
+    # 64 MB — the measured decode bottleneck. CBLOSC_TPU_GROUP_CAP
+    # overrides for kernel-placement paths whose workspace is tiny.
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_GROUP_CAP")
+    if v:
+        try:
+            return max(8, min(int(v), 1 << 20))
+        except ValueError:
+            pass
     g = max(_GROUP_BYTES // (out_len * 9 + maxrec * 32), 8)
     g = 1 << (g.bit_length() - 1)       # floor to a power of two
     return max(8, min(g, 1024))
@@ -635,13 +699,83 @@ def grouped_walk(walk, slots, csizes, out_len: int, maxrec: int,
     )
 
 
+def _decode_core_kernel(walk, slots_w, csizes, out_len: int, maxrec: int,
+                        W: int, group: int):
+    """Kernel-leg decode: grouped walk, then WHOLE-BATCH placement.
+
+    Round-3 on-chip profiling: per-group placement dominated decode
+    (expand kernel 0.625 ms per 1024x2048 group = 20 of 32 ms at the
+    clevel-1 bench geometry), while one batched doubling-tile pass over
+    the full 64 MB measured 0.93 ms (72 GB/s, scratch/r3_gather_probe).
+    So placement is hoisted out of the group loop: tile-eligible rows
+    (literal prefix + uniform pow2-distance fills — the dominant shape
+    for shuffled typed data) take one vectorized tile pass; the rest
+    take ONE whole-batch expand-kernel call (merged virtual rows), with
+    tile rows' records invalidated so their programs stop immediately.
+
+    Everything runs in CSIZE-SORTED row order; only the final bytes and
+    the handled mask are un-sorted. Un-sorting the walk's record arrays
+    instead measured 100+ ms — axis-0 gathers of 384-byte rows are
+    pathologically slow on v5e, while the 2 KB-row output gather is not.
+    """
+    import os
+
+    N = slots_w.shape[0]
+    no_tile = (os.environ.get("CBLOSC_TPU_PURETILE") == "0"
+               or out_len < 256 or out_len % 256)
+
+    def place_all(sl, cs, rf, dist, uni, okf):
+        valid = rf[0] >= 0
+        live = okf & (cs > 0)
+        if no_tile:
+            return kernel_place_rows(sl, rf, okf, out_len, W), live
+        elig = pure_tile_eligible(rf, valid, dist, uni, okf, cs,
+                                  out_len) & live
+        krf = (jnp.where(elig[:, None], -1, rf[0]),) + tuple(rf[1:])
+
+        def kern(_):
+            return kernel_place_rows(sl, krf, okf & ~elig, out_len, W)
+
+        # when every live row tiles (typed-ramp workloads), skip the
+        # kernel dispatch — even stopped programs pay scratch init + DMA
+        kern_out = jax.lax.cond(
+            jnp.all(elig | ~live),
+            lambda _: jnp.zeros((sl.shape[0], out_len), U8), kern, None)
+        tile, _ = _pure_tile_place(sl, cs, rf, valid, dist, elig,
+                                   out_len)
+        return jnp.where(elig[:, None], tile, kern_out), live
+
+    if N <= group:
+        rf, dist, uni, okf = walk(slots_w, csizes, out_len, maxrec)
+        return place_all(slots_w, csizes, rf, dist, uni, okf)
+
+    order = jnp.argsort(csizes)
+    inv = jnp.argsort(order)
+    sl = jnp.take(slots_w, order, axis=0)
+    cs = jnp.take(csizes, order)
+    pad = (-N) % group
+    if pad:
+        sl = jnp.pad(sl, ((0, pad), (0, 0)))
+        cs = jnp.pad(cs, (0, pad))
+    g = sl.shape[0] // group
+    rf, dist, uni, okf = jax.lax.map(
+        lambda t: walk(t[0], t[1], out_len, maxrec),
+        (sl.reshape(g, group, sl.shape[1]), cs.reshape(g, group)),
+    )
+    rf = tuple(f.reshape(g * group, -1) for f in rf)
+    out, live = place_all(
+        sl, cs, rf, dist.reshape(-1), uni.reshape(-1), okf.reshape(-1))
+    return (jnp.take(out[:N], inv, axis=0),
+            jnp.take(live[:N], inv))
+
+
 def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
                 maxrec: int):
-    """Shared grouped decode driver for all three walk grammars
-    (blosclz/LZ4/snappy): pad for the walk windows, csize-sort into
-    bounded groups, walk, and dispatch placement per group — stored-raw
-    short-circuit, splat fast path behind the measured crossover, expand
-    kernel (with virtual-row merging) or the XLA sort machine.
+    """Shared decode driver for all three walk grammars (blosclz/LZ4/
+    snappy): pad for the walk windows, csize-sort into bounded groups,
+    walk, place. Kernel legs (TPU) place the whole batch at once
+    (_decode_core_kernel); sort-machine legs keep per-group placement
+    (the sort workspace is ~9 B per output byte and must stay bounded).
     Returns (sk uint8 (N, out_len), handled bool (N,))."""
     import os
 
@@ -650,31 +784,22 @@ def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
     Wpad = max(-(-(W + _MARGIN) // 128) * 128, _WINW)
     slots_w = jnp.pad(slots, ((0, 0), (0, Wpad - W)))
     group = _group_rows(out_len, maxrec)
-    kernel_place = use_expand_kernel()
-    # measured crossover (v5e): the sparse-scatter splat path beats the
-    # per-row kernel only when rows are long (fewer rows per byte)
-    min_splat = 8192 if kernel_place else 0
+    if use_expand_kernel():
+        return _decode_core_kernel(walk, slots_w, csizes, out_len, maxrec,
+                                   W, group)
     no_splat = (os.environ.get("CBLOSC_TPU_SPLAT") == "0"
-                or out_len < min_splat)
-
-    no_puretile = (os.environ.get("CBLOSC_TPU_PURETILE") == "0"
-                   or out_len < 256 or out_len % 256)
+                or out_len > MAX_OUT)
 
     def run(sl, cs):
-        recs, dist, uni, okf = walk(sl, cs, out_len, maxrec)
-        valid = recs[..., 0] >= 0
+        rf, dist, uni, okf = walk(sl, cs, out_len, maxrec)
+        valid = rf[0] >= 0
         splat = okf & uni & (dist <= 1) & (cs <= _PREFIX)
 
         def slow(_):
-            if kernel_place:
-                # Pallas expand: per-record distances, so mixed-distance
-                # (host/reference-encoded) streams are handled too;
-                # small rows are fused into virtual rows (merge_rows)
-                return kernel_place_rows(sl, recs, okf, out_len, W), okf
             return _place_and_fill(
-                sl[:, :W], cs, recs, valid, dist, uni, okf, out_len)
+                sl[:, :W], cs, rf, valid, dist, uni, okf, out_len)
 
-        def dispatch_splat(_):
+        def dispatch(_):
             if no_splat:
                 return slow(None)
             # group-level scalar predicate: rows arrive csize-sorted, so
@@ -683,20 +808,8 @@ def decode_core(walk, slots: jax.Array, csizes: jax.Array, out_len: int,
             fast = jnp.all(splat | (cs <= 0))
             return jax.lax.cond(
                 fast,
-                lambda _: _splat_place(sl, cs, recs, valid, splat, out_len),
+                lambda _: _splat_place(sl, cs, rf, valid, splat, out_len),
                 slow,
-                None)
-
-        def dispatch(_):
-            if no_puretile:
-                return dispatch_splat(None)
-            elig = pure_tile_eligible(recs, valid, dist, uni, okf, cs,
-                                      out_len)
-            return jax.lax.cond(
-                jnp.all(elig | (cs <= 0)),
-                lambda _: _pure_tile_place(sl, cs, recs, valid, dist,
-                                           elig, out_len),
-                dispatch_splat,
                 None)
 
         # stored-raw / masked groups (csize 0 everywhere) produce
@@ -739,7 +852,7 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
     the same semantics as codec.decode. maxrec_hint overrides the record
     budget (host_api passes high_records for token-dense chunks).
     """
-    if out_len > MAX_OUT or out_len < 8:
+    if out_len > decode_cap() or out_len < 8:
         return codec.decode(slots, csizes, out_len)
     maxrec = maxrec_hint or max_records(out_len)
     sk, handled = decode_core(_walk_batch, slots, csizes, out_len, maxrec)

@@ -266,7 +266,7 @@ def test_pure_tile_eligibility_and_placement(rng):
     recs, dist, uni, ok = structured._walk_batch(
         jnp.pad(slots, ((0, 0), (0, Wpad - W))), csizes, n, maxrec)
     elig = structured.pure_tile_eligible(
-        recs, recs[..., 0] >= 0, dist, uni, ok, csizes, n)
+        recs, recs[0] >= 0, dist, uni, ok, csizes, n)
     elig_np = np.asarray(elig)
     for i, w in enumerate(want):
         if w:

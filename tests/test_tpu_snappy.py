@@ -59,7 +59,7 @@ def test_snappy_walk_records_replay(rng):
     recs, dist, uni, ok = jax.jit(
         codec_snappy._walk_batch, static_argnums=(2, 3)
     )(jnp.asarray(buf), jnp.asarray(cs), n, codec_snappy.max_records(n))
-    recs = np.asarray(recs)
+    recs = np.asarray(structured.stack_records(recs))
     ok = np.asarray(ok)
     assert ok.all()
     for i, a in enumerate(arrs):
