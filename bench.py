@@ -250,6 +250,14 @@ def main() -> None:
     ap.add_argument("--hardsuite", action="store_true",
                     help="size x typesize x sbits sweep "
                          "(bench/bench.c:431-476 reduced grid)")
+    ap.add_argument("--extremesuite", action="store_true",
+                    help="full reference grid: sizes 32KB-16MB incl. "
+                         "non-pow2 offsets, elsize 1-32, rshift 0-32 "
+                         "(bench.c:450-458; hours of runtime)")
+    ap.add_argument("--debugsuite", action="store_true",
+                    help="ascending-from-minimum grid for debugging "
+                         "(bench.c:459-469: size from 16KB, elsize "
+                         "from 1, rshift from 0)")
     ap.add_argument("--host", action="store_true",
                     help="also time the native host engine (byte API)")
     ap.add_argument("--host-nthreads", type=int, default=1)
@@ -288,33 +296,59 @@ def main() -> None:
 
         jax.profiler.start_trace(args.profile)
 
-    if args.hardsuite:
-        # reduced reference hardsuite grid (bench.c:441-455: sizes,
-        # typesizes, significant-bit sweeps), one clevel
+    def run_grid(name: str, cells, iters: int, workingset: int):
+        """Shared grid driver for the reference's multi-config suites
+        (bench.c:431-476): cells yields (nbytes, typesize, sbits)."""
         rows = []
-        for nbytes in (64 << 10, 1 << 20, 8 << 20):
-            for ts in (1, 4, 8, 32):
-                for sb in (4, 19, 32):
-                    r = bench_device(nbytes, ts, sb, args.clevel or 5,
-                                     args.shuffle, max(1, args.iters // 3),
-                                     max(nbytes, 32 << 20), args.codec)
-                    r.update(size=nbytes, typesize=ts, sbits=sb)
-                    rows.append(r)
-                    if not args.json_only:
-                        print(f"# {nbytes>>10:6d} KB ts {ts:2d} sbits {sb:2d}"
-                              f": ratio {r['ratio']:7.1f}  comp "
-                              f"{r['compress_gbps']:6.2f}  decomp "
-                              f"{r['decompress_gbps']:6.2f} GB/s",
-                              file=sys.stderr)
+        for nbytes, ts, sb in cells:
+            r = bench_device(nbytes, ts, sb, args.clevel or 5,
+                             args.shuffle, iters,
+                             max(nbytes, workingset), args.codec)
+            r.update(size=nbytes, typesize=ts, sbits=sb)
+            rows.append(r)
+            if not args.json_only:
+                print(f"# {nbytes>>10:6d} KB ts {ts:2d} sbits {sb:2d}"
+                      f": ratio {r['ratio']:7.1f}  comp "
+                      f"{r['compress_gbps']:6.2f}  decomp "
+                      f"{r['decompress_gbps']:6.2f} GB/s",
+                      file=sys.stderr)
         best = max(rows, key=lambda r: r["compress_gbps"])
         print(json.dumps({
-            "metric": f"{args.codec}_hardsuite_compress_device",
+            "metric": f"{args.codec}_{name}_compress_device",
             "value": round(best["compress_gbps"], 2), "unit": "GB/s",
             "vs_baseline": round(best["compress_gbps"] / REF_COMPRESS_GBPS, 2),
             "details": {"rows": [
                 {k: (round(v, 2) if isinstance(v, float) else v)
                  for k, v in r.items()} for r in rows]},
         }))
+
+    if args.hardsuite:
+        # reduced reference hardsuite grid (bench.c:441-455: sizes,
+        # typesizes, significant-bit sweeps), one clevel
+        cells = [(nbytes, ts, sb)
+                 for nbytes in (64 << 10, 1 << 20, 8 << 20)
+                 for ts in (1, 4, 8, 32)
+                 for sb in (4, 19, 32)]
+        run_grid("hardsuite", cells, max(1, args.iters // 3), 32 << 20)
+        return
+
+    if args.extremesuite or args.debugsuite:
+        # full reference grid (bench.c:450-469): sizes 32KB(16KB for
+        # debug)..16MB with +/-elsize offsets (non-pow2 coverage),
+        # elsize 1..32, rshift 0..32 step 5, single iteration
+        base = 16 << 10 if args.debugsuite else 32 << 10
+        cells = []
+        for sb in range(0, 33, 5):
+            for e in (1, 2, 4, 8, 16, 32):
+                for off in (-e, 0, e):
+                    size = base
+                    while size <= (16 << 20):
+                        n = size + off
+                        if n > 0 and sb <= 8 * e:
+                            cells.append((n, e, max(sb, 1)))
+                        size *= 2
+        run_grid("debugsuite" if args.debugsuite else "extremesuite",
+                 cells, 1, 32 << 20)
         return
 
     clevels = (range(1, 10) if args.suite

@@ -1,5 +1,7 @@
 """Sharded engine on the 8-virtual-device CPU mesh (conftest)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -183,3 +185,15 @@ def test_sharded_byte_api_per_codec(rng, mesh):
         assert chunk
         assert b.decompress_ctx(chunk, backend="numpy") == data
         assert parallel.decompress_chunk(chunk, mesh) == data
+
+
+@pytest.mark.skipif(os.environ.get("CBLOSC_TPU_SOAK") is None,
+                    reason="multi-process dryrun is slow; set "
+                           "CBLOSC_TPU_SOAK=1 (CI soak leg) to run")
+def test_dryrun_multihost():
+    """Two localhost jax.distributed processes form one global mesh and
+    run the sharded roundtrip step (SURVEY section 2.4 multi-host init;
+    committed passing log: docs/logs/dryrun_multihost_r3.log)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multihost(2, 4)
