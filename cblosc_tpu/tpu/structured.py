@@ -207,10 +207,14 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
             err_t = jnp.where(is_lit, lit_err, m_err | ext_err)
             good = act & ~err_t
             valid = good & (is_lit | m_ok)
+            # invalid slots carry zeros (not stale garbage): grouped and
+            # whole-batch walks then agree bit-for-bit even though groups
+            # stop at their own chunk counts (test_grouped_walk_matches_
+            # plain_vmap) and downstream masks never see nondeterminism
             sk_l.append(jnp.where(valid, jnp.where(is_lit, 0, 1), -1))
-            sa_l.append(jnp.where(is_lit, ip, bk))
-            sd_l.append(op)
-            sl_l.append(jnp.where(is_lit, llen, mlen))
+            sa_l.append(jnp.where(valid, jnp.where(is_lit, ip, bk), 0))
+            sd_l.append(jnp.where(valid, op, 0))
+            sl_l.append(jnp.where(valid, jnp.where(is_lit, llen, mlen), 0))
 
             ip_n = jnp.where(
                 is_lit,

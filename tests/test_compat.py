@@ -66,5 +66,12 @@ def test_roundtrip_not_larger_than_reference():
             continue
         ours = b.compress_ctx(9, 1, 4, data, compressor=codec)
         assert ours and b.decompress_ctx(ours) == data
-        # allow a 35% margin: block geometry differs across versions
-        assert len(ours) <= ref_size * 1.35, (codec, len(ours), ref_size)
+        # match-or-beat for our own codecs; small slack where the golden
+        # files were produced by OLDER upstream library versions whose
+        # parsers/levels differ (lz4hc 1.019, snappy 1.040, zlib 1.041,
+        # zstd 1.001 measured 2026-08). Same-version match-or-beat is
+        # enforced by test_reference_binary.test_live_size_parity_per_
+        # clevel against the live 1.21.7 build (VERDICT r2 item 6).
+        margin = {"lz4hc": 1.05, "snappy": 1.05, "zlib": 1.05,
+                  "zstd": 1.02}.get(codec, 1.0)
+        assert len(ours) <= ref_size * margin, (codec, len(ours), ref_size)
