@@ -107,6 +107,48 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
                 maxrec: int):
     """Parse a batch of blosclz streams into records.
 
+    Tiered dispatch wrapper around _walk_impl: the walk's window fetch
+    is a masked reduction over the row's 128-lane blocks, so its cost
+    scales with the FULL row width — yet live rows on shuffled typed
+    data carry tiny streams (bench workload: median csize 14 B at the
+    2 KB clevel-1 geometry, ~520 B at the 128 KB clevel-5 geometry;
+    raw rows are masked to csize 0 before this call). Rows arrive
+    csize-sorted in bounded groups, so a group-level scalar lax.cond
+    picks the narrowest static prefix of the row that covers the
+    group's largest stream:
+
+      tier 0  csize <= _WINW - _MARGIN: the first window IS the whole
+              stream — no per-iteration window fetch at all
+      tier 1  csize <= _TIER1 - _MARGIN: fetch windows from a _TIER1-
+              byte static prefix (16 blocks, not W/128)
+      tier 2  anything else: full-width fetch
+
+    Outputs are bit-identical across tiers (the parse never reads past
+    csize + _MARGIN, and slots are zero past csize)."""
+    W = slots.shape[1]
+    tiers = [t for t in (_WINW, _TIER1) if t < W]
+    if not tiers:
+        return _walk_impl(slots, csizes, out_len, maxrec)
+    maxcs = jnp.max(csizes)
+
+    def run(P):
+        return lambda: _walk_impl(slots[:, :P] if P else slots,
+                                  csizes, out_len, maxrec)
+
+    branches = [run(t) for t in tiers] + [run(0)]
+    sel = jnp.searchsorted(
+        jnp.asarray([t - _MARGIN for t in tiers], I32), maxcs, side="left",
+        method="compare_all")
+    return jax.lax.switch(sel, branches)
+
+
+_TIER1 = 2048       # tier-1 walk prefix bytes (see _walk_batch)
+
+
+def _walk_impl(slots: jax.Array, csizes: jax.Array, out_len: int,
+               maxrec: int):
+    """Parse a batch of blosclz streams into records.
+
     slots: uint8 (R, W) with W % 128 == 0 and W >= csize + _MARGIN,
     rows zero past csize. Returns (rf, dist, uni, ok) where rf is the
     FIELD-TUPLE record form: four i32 (R, slots) arrays (kind, arg,
@@ -119,7 +161,8 @@ def _walk_batch(slots: jax.Array, csizes: jax.Array, out_len: int,
     while-loop carry).
 
     Each iteration reads ONE aligned 512-byte window per row via masked
-    reductions over the row's 128-lane blocks (gather-free) and parses
+    reductions over the row's 128-lane blocks (gather-free; skipped
+    entirely when the row IS one window) and parses
     up to _T tokens from it; per-token byte extraction runs on a 64-lane
     subwindow selected the same way. Wire grammar per
     blosc/blosclz.c:679-789: first token is a literal copy; literal
