@@ -128,10 +128,26 @@ def compute_blocksize_device(
     clevel->blocksize philosophy, blosc.c:996-1028). Any blocksize is a
     conforming chunk — bstarts make the geometry explicit.
     """
+    import os
+
     if forced_blocksize or nbytes < C.L1:
         return compute_blocksize(
             clevel, typesize, nbytes, forced_blocksize, compcode, splitmode
         )
+    v = os.environ.get("CBLOSC_TPU_NEBLOCK")    # geometry tuning knob
+    if v:
+        try:
+            neblock = max(256, min(int(v), 1 << 19))
+        except ValueError:
+            neblock = 0
+        if neblock:
+            nsplits = typesize if split_block(
+                compcode, typesize, neblock * typesize, splitmode
+            ) else 1
+            blocksize = min(neblock * nsplits, C.MAX_BLOCKSIZE, nbytes)
+            if blocksize > typesize:
+                blocksize = blocksize // typesize * typesize
+            return max(blocksize, C.MIN_BUFFERSIZE)
     if clevel <= 2:
         neblock = 2048          # fastest sort (0.37 ns/element measured)
     elif clevel <= 4:

@@ -93,37 +93,61 @@ def slot_width(n: int) -> int:
 def _score(s: jax.Array, dists: tuple):
     """Distance selection + purity detection.
 
-    Returns (eq (N,n) bool at the chosen distance, d_row (N,1) i32,
-    pure (N,) bool, cov (N,) proxy, total (N,) exact eq count). A row is
-    PURE when one run at the chosen distance covers everything matchable
-    ([d, n-1)) — the dominant shape for shuffled typed data — and its
-    whole emission is closed-form (_emit_pure), skipping segmentation
-    scans and the emission sort.
+    Returns (d_row (N,1) i32, pure (N,) bool, cov (N,) proxy, total (N,)
+    exact eq count). A row is PURE when one run at the chosen distance
+    covers everything matchable ([d, n-1)) — the dominant shape for
+    shuffled typed data — and its whole emission is closed-form
+    (_emit_pure), skipping segmentation scans and the emission sort.
+
+    The per-row eq MASK is deliberately not returned: materializing every
+    candidate's (N, n) mask and selecting one forced ~2x the streaming
+    traffic (each mask fed both the coverage reduce and the select
+    chain); only NORMAL emission groups need the mask, and they
+    recompute it from d_row with _eq_for at a fraction of the cost.
     """
     N, n = s.shape
     idx = jnp.arange(n, dtype=I32)
-    eqs = []
     covs = []
+    tots = []
     for d in dists:
         if d < n:
             prev = jnp.concatenate([s[:, :d], s[:, :-d]], axis=1)
             e = (s == prev) & (idx >= d) & (idx < n - 1)  # last byte literal
         else:
             e = jnp.zeros_like(s, dtype=bool)
-        eqs.append(e)
         covs.append(jnp.sum((e[:, 2:] & e[:, 1:-1] & e[:, :-2]).astype(I32),
                             axis=1))
+        tots.append(jnp.sum(e.astype(I32), axis=1))
     stack = jnp.stack(covs, 0)
     best = jnp.argmin(-stack, axis=0)                    # first (smallest d) max
-    eq = eqs[0]
-    for k in range(1, len(dists)):
-        eq = jnp.where((best == k)[:, None], eqs[k], eq)
     d_row = jnp.asarray(dists, I32)[best][:, None]       # (N, 1)
     d = d_row[:, 0]
-    total = jnp.sum(eq.astype(I32), axis=1)
+    total = jnp.take_along_axis(jnp.stack(tots, 0), best[None, :],
+                                axis=0)[0]
     pure = (total == n - 1 - d) & (n - 1 - d >= 3) & (d <= 256)
     cov = jnp.max(stack, axis=0)            # matched-coverage proxy
-    return eq, d_row, pure, cov, total
+    return d_row, pure, cov, total
+
+
+def _eq_for(s: jax.Array, d_row: jax.Array, dists: tuple,
+            last_lit: bool = True) -> jax.Array:
+    """eq mask at each row's chosen distance, via a static-shift
+    where-chain (one fused compare pass per candidate — no gathers, no
+    per-candidate mask materialization). last_lit keeps the final byte
+    out of matches (the blosclz grammar's trailing-literal rule;
+    LZ4 handles its own end rules in its segmenter)."""
+    N, n = s.shape
+    idx = jnp.arange(n, dtype=I32)
+    eq = jnp.zeros_like(s, dtype=bool)
+    for d in dists:
+        if d >= n:
+            continue
+        prev = jnp.concatenate([s[:, :d], s[:, :-d]], axis=1)
+        e = (s == prev) & (idx >= d)
+        eq = jnp.where(d_row == d, e, eq)
+    if last_lit:
+        eq = eq & (idx < n - 1)
+    return eq
 
 
 def _emit_pure(s: jax.Array, d_vec: jax.Array, W: int):
@@ -315,6 +339,22 @@ def _eq_at(s: jax.Array, d: jax.Array) -> jax.Array:
 _PURE_GROUP = 512       # rows per class-homogeneous emission group
 
 
+def _emit_group_rows() -> int:
+    """Emission group size (rows). CBLOSC_TPU_EMIT_GROUP overrides the
+    default for on-chip tuning: bigger groups cut the sequential
+    lax.map depth (67 groups per 64 MB at the clevel-1 geometry) at the
+    price of a larger per-group sort workspace."""
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_EMIT_GROUP")
+    if v:
+        try:
+            return max(8, min(int(v), 1 << 15))
+        except ValueError:
+            pass
+    return _PURE_GROUP
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def encode(
     s: jax.Array, dists: tuple = DISTANCES, min_cratio_x100: int = 0,
@@ -343,11 +383,11 @@ def encode(
     """
     N, n = s.shape
     W = slot_width(n)
-    eq, d_row, pure, cov, total = _score(s, dists)
+    d_row, pure, cov, total = _score(s, dists)
 
     if N <= 8 or n < 8:  # tiny batches: grouping overhead beats the win
         mined = mine_group(s, d_row) if (mine and n >= 1024) else None
-        return _emit_full(s, eq, d_row, mined)
+        return _emit_full(s, _eq_for(s, d_row, dists), d_row, mined)
 
     # entropy-probe analog: matched bytes ~ cov; emitted ~ literals +
     # token bytes + ctrl overhead
@@ -359,7 +399,7 @@ def encode(
     # sort/mining workspace
     gcap = max(8, (4 << 20) // max(n, 1))
     gcap = 1 << (gcap.bit_length() - 1)
-    G = min(_PURE_GROUP, gcap, 1 << (N.bit_length() - 1))
+    G = min(_emit_group_rows(), gcap, 1 << (N.bit_length() - 1))
 
     # ---- class-aligned layout: segment c occupies padded slots
     # [base[c], base[c] + counts[c]), base G-aligned, so every G-group
@@ -387,7 +427,6 @@ def encode(
         return jnp.take(jnp.concatenate([a, extra]), src, axis=0)
 
     so = jnp.where(live[:, None], pad_rows(s), 0)
-    eo = jnp.where(live[:, None], pad_rows(eq), False)
     do = jnp.where(live[:, None], pad_rows(d_row), 1)
     g = M // G
     cgrp = c_j.reshape(g, G)[:, 0]
@@ -395,7 +434,7 @@ def encode(
     zero_dm = jnp.zeros((G,), I32)
 
     def emit_group(t):
-        sg, eg, dg, c0 = t
+        sg, dg, c0 = t
 
         def do_pure(_):
             sl, cs, es = _emit_pure(sg, dg, W)
@@ -403,7 +442,7 @@ def encode(
 
         def do_normal(_):
             mined = mine_group(sg, dg) if mine else None
-            sl, cs, es = _emit_full(sg, eg, dg, mined)
+            sl, cs, es = _emit_full(sg, _eq_for(sg, dg, dists), dg, mined)
             return sl, cs, es, (mined[0] if mined else zero_dm)
 
         def do_hopeless(_):
@@ -416,7 +455,8 @@ def encode(
             mined = mine_group(sg, dg)
 
             def emit_mined(_):
-                sl, cs, es = _emit_full(sg, eg, dg, mined)
+                sl, cs, es = _emit_full(sg, _eq_for(sg, dg, dists), dg,
+                                        mined)
                 return sl, cs, es, mined[0]
 
             return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
@@ -429,8 +469,7 @@ def encode(
 
     slots, csize, est, dm = jax.lax.map(
         emit_group,
-        (so.reshape(g, G, n), eo.reshape(g, G, n),
-         do.reshape(g, G, 1), cgrp),
+        (so.reshape(g, G, n), do.reshape(g, G, 1), cgrp),
     )
     # row i lives in padded slot base[cls_i] + (sorted rank - class cum)
     dest = base[cls] + inv_order - cum[cls]

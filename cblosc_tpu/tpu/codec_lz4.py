@@ -59,22 +59,19 @@ def encode(
     W = slot_width(n)
     idx = jnp.arange(n, dtype=I32)
 
-    # -- distance selection (shared proxy with the blosclz encoder) --------
-    eqs, covs = [], []
+    # -- distance selection (shared proxy with the blosclz encoder; the
+    #    eq mask is recomputed per group from d_row, see codec._eq_for) --
+    covs = []
     for d in dists:
         if d < n:
             prev = jnp.concatenate([s[:, :d], s[:, :-d]], axis=1)
             e = (s == prev) & (idx >= d)
         else:
             e = jnp.zeros_like(s, dtype=bool)
-        eqs.append(e)
         covs.append(jnp.sum((e[:, 2:] & e[:, 1:-1] & e[:, :-2]).astype(I32),
                             axis=1))
     stack = jnp.stack(covs, 0)
     best = jnp.argmin(-stack, axis=0)
-    eq0 = eqs[0]
-    for k in range(1, len(dists)):
-        eq0 = jnp.where((best == k)[:, None], eqs[k], eq0)
     d_row0 = jnp.asarray(dists, I32)[best][:, None]
 
     def mine_g(sg, dg):
@@ -115,18 +112,19 @@ def encode(
             return jnp.take(a, srcrow, axis=0)
 
         so = jnp.where(real[:, None], pad_rows(s), 0)
-        eo = jnp.where(real[:, None], pad_rows(eq0), False)
         do = jnp.where(real[:, None], pad_rows(d_row0), 1)
         g = M // G
         cgrp = c_j.reshape(g, G)[:, 0]
         zero_dm = jnp.zeros((G,), I32)
 
         def emit_group(t):
-            sg, eg, dg, c0 = t
+            sg, dg, c0 = t
 
             def do_normal(_):
                 mined = mine_g(sg, dg) if mine else None
-                sl, cs, es = _emit(sg, eg, dg, mined)
+                sl, cs, es = _emit(
+                    sg, codec._eq_for(sg, dg, dists, last_lit=False),
+                    dg, mined)
                 return sl, cs, es, (mined[0] if mined else zero_dm)
 
             def do_hopeless(_):
@@ -137,7 +135,9 @@ def encode(
                 mined = mine_g(sg, dg)
 
                 def emit_mined(_):
-                    sl, cs, es = _emit(sg, eg, dg, mined)
+                    sl, cs, es = _emit(
+                        sg, codec._eq_for(sg, dg, dists, last_lit=False),
+                        dg, mined)
                     return sl, cs, es, mined[0]
 
                 return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
@@ -147,8 +147,7 @@ def encode(
 
         slots, csize, est, dm = jax.lax.map(
             emit_group,
-            (so.reshape(g, G, n), eo.reshape(g, G, n),
-             do.reshape(g, G, 1), cgrp))
+            (so.reshape(g, G, n), do.reshape(g, G, 1), cgrp))
         dest = base[cls] + inv_order - cum[cls]
         slots = jnp.take(slots.reshape(-1, W), dest, axis=0)
         csize = jnp.take(csize.reshape(-1), dest)
@@ -157,7 +156,8 @@ def encode(
         csize = jnp.where(hopeless & (dm == 0), n, csize)
         return slots, csize, est
     mined = mine_g(s, d_row0) if (mine and n >= 1024) else None
-    return _emit(s, eq0, d_row0, mined)
+    return _emit(s, codec._eq_for(s, d_row0, dists, last_lit=False),
+                 d_row0, mined)
 
 
 def _segment(eq: jax.Array, min_len, idx: jax.Array, n: int):

@@ -36,10 +36,11 @@ batches merge with a select. Everything stays on device under one jit.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import codec
 
@@ -562,29 +563,148 @@ def _pure_tile_place(slots, csizes, rf, rec_valid, dist, elig,
     live = in_lit & (p < csizes[:, None]) & (dst_p >= 0) & (dst_p < d)
     key = jnp.where(live, (dst_p << 8) | pre.astype(I32), _BIGI)
     pat = jax.lax.sort(key, dimension=1)[:, :256] & 0xFF
-    col = jnp.arange(256, dtype=I32)[None, :]
-    for k in range(8):
-        w = 1 << k
-        shifted = pat[:, (jnp.arange(256) & ~w)]
-        pat = jnp.where((d <= w) & ((col & w) != 0), shifted, pat)
     # tail byte: the single literal with dst == out_len-1 (its source is
     # the stream byte at that record's src offset)
     lit_tail = (rec_valid & (kind == 0)
                 & (dsto == out_len - 1))
     tsrc = jnp.max(jnp.where(lit_tail, srco_f, -1), axis=1)
     tbyte = jnp.take_along_axis(
-        slots, jnp.clip(tsrc, 0, slots.shape[1] - 1)[:, None], axis=1)
-    # tile in uint8 and patch the tail in the same pass — the output
-    # write is the dominant cost of this path, so it must be ONE
-    # byte-wide streaming pass (an int32 broadcast + scatter measured 2x
-    # slower than the whole expand-kernel path it replaces)
+        slots, jnp.clip(tsrc, 0, slots.shape[1] - 1)[:, None], axis=1)[:, 0]
+    return _tile_from_pattern(pat, dist, tbyte, out_len), elig
+
+
+def _tile_from_pattern(pat: jax.Array, dist: jax.Array, tbyte: jax.Array,
+                       out_len: int) -> jax.Array:
+    """Tile per-row patterns to out_len and patch the tail byte.
+
+    pat: (N, 256) int32 pattern prefix (garbage past the row's distance
+    is fine — the doubling passes overwrite lanes >= d); dist: (N,) i32
+    power-of-two distances <= 256; tbyte: (N,) i32 final output byte.
+    The doubling expands a d-periodic prefix to all 256 lanes with 8
+    static bit-clearing passes (pat[j] := pat[j & ~w] wherever d <= w —
+    j mod d for pow2 d without any gather), then ONE byte-wide
+    broadcast materializes the output. ~0.3 ns/B with no per-row
+    dynamic-shape ops (an int32 broadcast + scatter measured 2x slower
+    than the whole expand-kernel path this replaces)."""
+    N = pat.shape[0]
+    d = jnp.maximum(dist, 1)[:, None]
+    col = jnp.arange(256, dtype=I32)[None, :]
+    for k in range(8):
+        w = 1 << k
+        shifted = pat[:, (np.arange(256) & ~w)]
+        pat = jnp.where((d <= w) & ((col & w) != 0), shifted, pat)
     pat8 = pat.astype(U8)
     tiles = out_len // 256
     out = jnp.broadcast_to(pat8[:, None, :], (N, tiles, 256))
     tile_i = jnp.arange(tiles, dtype=I32)[None, :, None]
     is_tail = (tile_i == tiles - 1) & (col[:, None, :] == 255)
-    out = jnp.where(is_tail, tbyte.astype(U8)[:, :, None], out)
-    return out.reshape(N, out_len), elig
+    out = jnp.where(is_tail, tbyte.astype(U8)[:, None, None], out)
+    return out.reshape(N, out_len)
+
+
+# ---------------------------------------------------------------------------
+# Template fast path: closed-form parse of our encoder's PURE streams
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_DS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+@lru_cache(maxsize=None)
+def _template_table(out_len: int):
+    """Static stream templates for codec._emit_pure emissions.
+
+    A PURE stream's layout is a closed-form function of (d, out_len)
+    (codec.py:_emit_pure): literal chunks with a control byte every 33
+    emitted bytes, ONE match token at E1 = d + ceil(d/32) whose length
+    field and 255-extension bytes are pinned by vp = out_len - 4 - d,
+    the low distance byte, a zero control byte at E2 and the 1-byte
+    literal tail. Every control/token byte therefore sits at a STATIC
+    position with a STATIC value — so recognizing a PURE stream needs
+    only elementwise compares, no parse loop. Validation is exact:
+    a stream satisfying a template's constraints (plus csize equality)
+    parses to exactly the pure form under the wire grammar
+    (blosc/blosclz.c:679-789) — byte 0 pins the first literal length,
+    each control position pins the next, the pinned non-255 final
+    extension byte stops length parsing, and d <= 256 can never hit the
+    far-distance escape.
+
+    Returns [(d, csize, positions, values)] for pow2 d <= 256."""
+    tmpl = []
+    for d in _TEMPLATE_DS:
+        if out_len - 1 - d < 3:
+            continue
+        nc1 = -(-d // 32)
+        E1 = d + nc1
+        vp = out_len - 4 - d
+        kp = (vp - 6) // 255 + 1 if vp >= 6 else 0
+        E2 = E1 + 2 + kp
+        csize = E2 + 2
+        pos, val = [], []
+        for k in range(nc1):
+            v = min(32, d - 32 * k) - 1
+            if k == 0:
+                v |= 32                      # format marker bit
+            pos.append(33 * k)
+            val.append(v)
+        dm1 = d - 1
+        tok0 = (((vp + 1) << 5) if vp < 6 else (7 << 5)) | (dm1 >> 8)
+        pos.append(E1)
+        val.append(tok0)
+        for q in range(1, kp + 1):
+            pos.append(E1 + q)
+            val.append(max(0, min(vp - 6 - 255 * (q - 1), 255)))
+        pos.append(E1 + kp + 1)
+        val.append(dm1 & 255)
+        pos.append(E2)
+        val.append(0)
+        tmpl.append((d, csize, np.asarray(pos, np.int64),
+                     np.asarray(val, np.int32)))
+    return tmpl
+
+
+def _template_match(slots: jax.Array, csizes: jax.Array, out_len: int):
+    """Recognize PURE-template rows with elementwise ops only.
+
+    Returns (match (N,) bool, d (N,) i32, pat (N, 256) i32 pattern
+    prefix, tail (N,) i32 last output byte), or None when no template
+    applies at this geometry. At most one template validates any
+    conforming stream (csize pins kp and the structural compares pin
+    the rest); a row matching NO template simply takes the walk path."""
+    import os
+
+    if out_len < 256 or out_len % 256:
+        return None
+    if os.environ.get("CBLOSC_TPU_TEMPLATE") == "0":   # A/B knob
+        return None
+    tmpl = _template_table(out_len)
+    if not tmpl:
+        return None
+    N, W = slots.shape
+    PT = max(264, max(cs for _, cs, _, _ in tmpl))
+    PT = -(-PT // 128) * 128
+    pre = (slots[:, :PT] if W >= PT
+           else jnp.pad(slots, ((0, 0), (0, PT - W)))).astype(I32)
+    match = jnp.zeros((N,), bool)
+    dsel = jnp.zeros((N,), I32)
+    tail = jnp.zeros((N,), I32)
+    for d, csz, pos, val in tmpl:
+        sv = np.zeros((PT,), np.int32)
+        sm = np.zeros((PT,), bool)
+        sv[pos] = val
+        sm[pos] = True
+        okr = (csizes == csz) & jnp.all(
+            (pre == jnp.asarray(sv)[None, :]) | ~jnp.asarray(sm)[None, :],
+            axis=1)
+        new = okr & ~match
+        dsel = jnp.where(new, d, dsel)
+        tail = jnp.where(new, pre[:, csz - 1], tail)
+        match = match | okr
+    # pattern byte j sits at stream position j + 1 + j//32 (one control
+    # byte per 33 emitted bytes) — a STATIC index map, so extraction is
+    # one constant-index reshuffle, not a gather
+    jmap = np.minimum(np.arange(256) + 1 + np.arange(256) // 32, PT - 1)
+    pat = pre[:, jmap]
+    return match, dsel, pat, tail
 
 
 # ---------------------------------------------------------------------------
@@ -902,11 +1022,43 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
     if out_len > decode_cap() or out_len < 8:
         return codec.decode(slots, csizes, out_len)
     maxrec = maxrec_hint or max_records(out_len)
-    sk, handled = decode_core(_walk_batch, slots, csizes, out_len, maxrec)
+    N = slots.shape[0]
 
-    # fallback rows (csize of handled rows masked to 0 => loop skips them)
-    fb_cs = jnp.where(handled, 0, csizes)
-    fb_out, fb_prod, fb_err = codec.decode(slots, fb_cs, out_len)
+    # template fast path: PURE-emitted rows (the dominant shape for
+    # shuffled typed data) are recognized closed-form and tiled without
+    # ever entering the walk; group-level lax.conds skip the walk and
+    # the loop decoder entirely when nothing is left for them
+    tm = _template_match(slots, csizes, out_len)
+    if tm is None:
+        sk, handled = decode_core(_walk_batch, slots, csizes, out_len,
+                                  maxrec)
+    else:
+        tmatch, d_t, pat, tail = tm
+        cs_rest = jnp.where(tmatch, 0, csizes)
+        sk, handled = jax.lax.cond(
+            jnp.any(cs_rest > 0),
+            lambda _: decode_core(_walk_batch, slots, cs_rest, out_len,
+                                  maxrec),
+            lambda _: (jnp.zeros((N, out_len), U8),
+                       jnp.zeros((N,), bool)),
+            None)
+        tile = jax.lax.cond(
+            jnp.any(tmatch),
+            lambda _: _tile_from_pattern(pat, d_t, tail, out_len),
+            lambda _: jnp.zeros((N, out_len), U8),
+            None)
+        sk = jnp.where(tmatch[:, None], tile, sk)
+        handled = handled | tmatch
+
+    # fallback rows (csize of handled rows masked to 0 => loop skips
+    # them); skipped entirely when every live row was handled
+    fb_out, fb_prod, fb_err = jax.lax.cond(
+        jnp.any(~handled & (csizes > 0)),
+        lambda _: codec.decode(slots, jnp.where(handled, 0, csizes),
+                               out_len),
+        lambda _: (jnp.zeros((N, out_len), U8), jnp.zeros((N,), I32),
+                   csizes <= 0),
+        None)
     out = jnp.where(handled[:, None], sk, fb_out)
     produced = jnp.where(handled, out_len, fb_prod)
     err = jnp.where(handled, False, fb_err)

@@ -88,7 +88,7 @@ streams.block_until_ready()
 
 
 def score(a):
-    eq, d_row, pure, cov, totalv = codec._score(a, codec.DISTANCES)
+    d_row, pure, cov, totalv = codec._score(a, codec.DISTANCES)
     return (d_row.sum() + cov.sum() + pure.sum().astype(I32)).astype(I32)
 
 
@@ -124,8 +124,10 @@ if mine:
 # --- emission only (one group) ----------------------------------------------
 G = min(32, streams.shape[0])
 sg = streams[:G]
-eq0, d0, pure0, cov0, tot0 = jax.jit(
+d0, pure0, cov0, tot0 = jax.jit(
     lambda a: codec._score(a, codec.DISTANCES))(sg)
+eq0 = jax.jit(
+    lambda a: codec._eq_for(a, d0, codec.DISTANCES))(sg)
 
 
 def emit_only(a):

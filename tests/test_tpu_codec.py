@@ -96,8 +96,8 @@ def test_compression_ratio_on_runs(rng):
 def test_pure_closed_form_matches_sort_path(rng):
     """_emit_pure must be byte-identical to the scan+sort emission on
     pure rows, for every candidate distance and geometry corner."""
-    from cblosc_tpu.tpu.codec import (_emit_full, _emit_pure, _score,
-                                      slot_width)
+    from cblosc_tpu.tpu.codec import (_emit_full, _emit_pure, _eq_for,
+                                      _score, slot_width)
 
     for n in (256, 1024, 2048, 4096, 16384):
         rows, want_d = [], []
@@ -111,8 +111,8 @@ def test_pure_closed_form_matches_sort_path(rng):
             rows.append(row)
             want_d.append(d)
         S = jnp.asarray(np.stack(rows))
-        eq, d_row, pure, cov, total = _score(S, codec.DISTANCES)
-        full = _emit_full(S, eq, d_row)
+        d_row, pure, cov, total = _score(S, codec.DISTANCES)
+        full = _emit_full(S, _eq_for(S, d_row, codec.DISTANCES), d_row)
         W = slot_width(n)
         pw = _emit_pure(S, d_row, W)
         pure_np = np.asarray(pure)
@@ -129,7 +129,7 @@ def test_pure_closed_form_matches_sort_path(rng):
 def test_encode_grouped_pure_matches_ungrouped(rng):
     """encode() with purity grouping returns the same results as the
     plain full path for a mixed batch."""
-    from cblosc_tpu.tpu.codec import _emit_full, _score
+    from cblosc_tpu.tpu.codec import _emit_full, _eq_for, _score
 
     n = 2048
     rows = []
@@ -145,8 +145,9 @@ def test_encode_grouped_pure_matches_ungrouped(rng):
             rows.append(rng.integers(0, 256, n, dtype=np.uint8))
     S = jnp.asarray(np.stack(rows))
     slots, csize, est = codec.encode(S)
-    eq, d_row, pure, cov, total = _score(S, codec.DISTANCES)
-    slots2, csize2, est2 = _emit_full(S, eq, d_row)
+    d_row, pure, cov, total = _score(S, codec.DISTANCES)
+    slots2, csize2, est2 = _emit_full(S, _eq_for(S, d_row, codec.DISTANCES),
+                                      d_row)
     assert np.array_equal(np.asarray(csize), np.asarray(csize2))
     assert np.array_equal(np.asarray(est), np.asarray(est2))
     assert np.array_equal(np.asarray(slots), np.asarray(slots2))
