@@ -146,6 +146,10 @@ def _escalated_budget(neblock: int, compcode: int) -> int:
         from . import codec_zlib
 
         return codec_zlib.high_events(neblock)
+    if compcode == C.ZSTD:
+        from . import codec_zstd
+
+        return codec_zstd.high_events(neblock)
     from . import structured
 
     return structured.high_records(neblock)

@@ -38,10 +38,11 @@ U8 = jnp.uint8
 # compcodes with a device codec (LZ4HC chunks carry the LZ4 wire format)
 DEVICE_CODECS = (C.BLOSCLZ, C.LZ4, C.LZ4HC)
 # decode-side coverage is wider: snappy decodes on device via the shared
-# record machinery (tpu/codec_snappy.py) and zlib via the batched DEFLATE
-# FSM (tpu/codec_zlib.py); encoding stays on the host engines, as in the
+# record machinery (tpu/codec_snappy.py), zlib via the batched DEFLATE
+# FSM (tpu/codec_zlib.py), and zstd via the batched frame FSM
+# (tpu/codec_zstd.py); encoding stays on the host engines, as in the
 # reference (external-library wrappers, blosc.c:443-522)
-DEVICE_DECODE_CODECS = DEVICE_CODECS + (C.SNAPPY, C.ZLIB)
+DEVICE_DECODE_CODECS = DEVICE_CODECS + (C.SNAPPY, C.ZLIB, C.ZSTD)
 
 
 def _codec_mod(compcode: int):
@@ -151,7 +152,7 @@ def decompress_blocks(
     # the structured decoder fast-paths uniform-distance streams and falls
     # back to the loop decoder per row otherwise. Row groups bound the
     # sort/fill workspace on large batches (as in _encode_grouped).
-    from . import codec_snappy, codec_zlib, structured
+    from . import codec_snappy, codec_zlib, codec_zstd, structured
 
     if compcode == C.BLOSCLZ:
         dec0 = structured.decode
@@ -159,6 +160,8 @@ def decompress_blocks(
         dec0 = codec_snappy.decode
     elif compcode == C.ZLIB:
         dec0 = codec_zlib.decode
+    elif compcode == C.ZSTD:
+        dec0 = codec_zstd.decode
     else:
         dec0 = codec_lz4.decode
 
