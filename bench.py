@@ -93,25 +93,45 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     cbytes = int(jnp.sum(csizes + 4)) + (16 + 4 * nblocks) * nchunks
     ratio = total_bytes / cbytes
 
-    # timed loops run on-device via fori_loop (amortizes tunnel dispatch);
-    # every body output feeds the next input so nothing can be hoisted or
-    # dead-code-eliminated
-    def chain(step, reps=iters):
+    # timed loops run on-device via fori_loop (amortizes tunnel
+    # dispatch). The step's FULL outputs ride in the loop carry: a
+    # scalar like out[0,0]+err.sum() lets XLA slice the output
+    # materialization away for every other row (measured 5x inflation
+    # on the template decode path — err depends on the match masks but
+    # not on the tiled bytes), while a loop-carried array must be
+    # materialized to HBM every iteration — the honest semantics of a
+    # decompress whose consumer reads the buffer (bench.c memcmp does
+    # exactly that). The input flip depends on the outputs, so
+    # iterations serialize and nothing hoists.
+    def chain(step, flip_last=False, reps=iters):
         @jax.jit
         def many(x):
-            def body(i, x):
-                r = step(x)  # int32 scalar depending on ALL outputs
-                return x.at[0, 0].set(x[0, 0] ^ (r % 2).astype(jnp.uint8))
-            return jax.lax.fori_loop(0, reps, body, x)
+            outs0 = jax.tree_util.tree_map(
+                lambda t: jnp.zeros(t.shape, t.dtype),
+                jax.eval_shape(step, x))
+            pos = x.shape[1] - 1 if flip_last else 0
+
+            def body(i, st):
+                xx = st[0]
+                outs = step(xx)
+                fb = jax.tree_util.tree_leaves(outs)[0].reshape(-1)[0]
+                xx = xx.at[0, pos].set(
+                    xx[0, pos] ^ (fb % 2).astype(xx.dtype))
+                return (xx,) + outs
+            return jax.lax.fori_loop(0, reps, body, (x,) + outs0)
         return many
 
     def dep_compress(x):
         slots, csizes = compress(x)
-        return csizes.sum() + slots[0, 0].astype(jnp.int32)
+        return (slots, csizes)
 
     # direct decompress timing on pre-encoded slots (not inferred as
     # roundtrip minus compress): the timed chain re-decodes the same
-    # compressed batch; the scalar result feeds the loop carry
+    # compressed batch. The carry flips the LAST slot column of row 0:
+    # provably past every stream (csize <= neblock <= W - neblock//32
+    # - 8) and beyond any decoder's bounded overread, so the dependency
+    # is real to XLA but the decoded bytes stay exactly the benchmarked
+    # stream (flipping a live byte would time corrupt-input decodes).
     slots0, csizes0 = jax.jit(compress)(x)
     slots0 = pipeline.mask_past_csize(slots0, csizes0, slots0.shape[1])
     slots0.block_until_ready()
@@ -119,58 +139,40 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
     def dep_decompress(s):
         out, err = pipeline.decompress_blocks(
             s, csizes0, neblock, doshuffle, typesize, nsplits, compcode)
-        return out[0, 0].astype(jnp.int32) + err.sum().astype(jnp.int32)
+        return (out, err)
 
     def dep_roundtrip(x):
         out, err, csizes = roundtrip(x)
-        return (csizes.sum() + out[0, 0].astype(jnp.int32)
-                + err.sum().astype(jnp.int32))
-
-    def chain_u8(step, arr, reps=iters):
-        # the carry flips the LAST slot column of row 0: provably past
-        # every stream (csize <= neblock <= W - neblock//32 - 8) and
-        # beyond any decoder's bounded overread, so the dependency is
-        # real to XLA but the decoded bytes stay exactly the benchmarked
-        # stream (flipping a live byte would time corrupt-input decodes)
-        @jax.jit
-        def many(a):
-            last = a.shape[1] - 1
-
-            def body(i, a):
-                r = step(a)
-                return a.at[0, last].set(
-                    a[0, last] ^ (r % 2).astype(jnp.uint8))
-            return jax.lax.fori_loop(0, reps, body, a)
-        return many, arr
+        return (out, err, csizes)
 
     def time_it(many, xx=None, reps=iters):
         xx = x if xx is None else xx
-        y = many(xx)
+        y = jax.tree_util.tree_leaves(many(xx))[0]
         flat = y.reshape(-1)
         _ = float(jnp.sum(flat[:8].astype(jnp.int32)))       # warm + compile
         lat = _readback_latency(jnp, flat)
         t0 = time.perf_counter()
-        y = many(xx)
+        y = jax.tree_util.tree_leaves(many(xx))[0]
         _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
         el = time.perf_counter() - t0
         return max(el - lat, el * 0.02) / reps
 
     comp_dt = time_it(chain(dep_compress))
-    dmany, darg = chain_u8(dep_decompress, slots0)
-    decomp_direct_dt = time_it(dmany, darg)
+    decomp_direct_dt = time_it(chain(dep_decompress, flip_last=True),
+                               slots0)
     rt_dt = time_it(chain(dep_roundtrip))
     # the plain read pass is ~100x faster than the codec: amortize far
     # more repetitions, and never trust a measurement below half the
     # elapsed time (the tunnel's async readback skews tiny intervals)
     def time_read():
-        many = chain(lambda x: jnp.max(x).astype(jnp.int32) * 0,
+        many = chain(lambda x: (jnp.max(x).astype(jnp.int32) * 0,),
                      reps=iters * 40)
-        y = many(x)
+        y = jax.tree_util.tree_leaves(many(x))[0]
         flat = y.reshape(-1)
         _ = float(jnp.sum(flat[:8].astype(jnp.int32)))
         lat = _readback_latency(jnp, flat)
         t0 = time.perf_counter()
-        y = many(x)
+        y = jax.tree_util.tree_leaves(many(x))[0]
         _ = float(jnp.sum(y.reshape(-1)[:8].astype(jnp.int32)))
         el = time.perf_counter() - t0
         return max(el - lat, el * 0.5) / (iters * 40)

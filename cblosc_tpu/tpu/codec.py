@@ -106,18 +106,21 @@ def _score(s: jax.Array, dists: tuple):
     recompute it from d_row with _eq_for at a fraction of the cost.
     """
     N, n = s.shape
-    idx = jnp.arange(n, dtype=I32)
     covs = []
     tots = []
     for d in dists:
-        if d < n:
-            prev = jnp.concatenate([s[:, :d], s[:, :-d]], axis=1)
-            e = (s == prev) & (idx >= d) & (idx < n - 1)  # last byte literal
+        if d < n - 1:
+            # e[i] = s[i]==s[i-d] for i in [d, n-1): STATIC SLICES, not
+            # a concatenate — the concat materialized a shifted copy of
+            # the whole batch per candidate (9x64 MB of extra traffic)
+            e = s[:, d:n - 1] == s[:, :n - 1 - d]
+            h3 = e[:, 2:] & e[:, 1:-1] & e[:, :-2] if e.shape[1] > 2 \
+                else jnp.zeros((N, 0), bool)
+            covs.append(jnp.sum(h3.astype(I32), axis=1))
+            tots.append(jnp.sum(e.astype(I32), axis=1))
         else:
-            e = jnp.zeros_like(s, dtype=bool)
-        covs.append(jnp.sum((e[:, 2:] & e[:, 1:-1] & e[:, :-2]).astype(I32),
-                            axis=1))
-        tots.append(jnp.sum(e.astype(I32), axis=1))
+            covs.append(jnp.zeros((N,), I32))
+            tots.append(jnp.zeros((N,), I32))
     stack = jnp.stack(covs, 0)
     best = jnp.argmin(-stack, axis=0)                    # first (smallest d) max
     d_row = jnp.asarray(dists, I32)[best][:, None]       # (N, 1)
@@ -248,13 +251,20 @@ def _mine_distance(s: jax.Array, min_gap: int = 4,
     best = jnp.argmax(count, axis=1)
     d = jnp.take_along_axis(ds, best[:, None], axis=1)[:, 0]
     hits = jnp.take_along_axis(count, best[:, None], axis=1)[:, 0]
-    return jnp.where((hits >= 4) & (d < _BIGI), d, 0)
+    d = jnp.where((hits >= 4) & (d < _BIGI), d, 0)
+    return d, jnp.where(d > 0, hits, 0)
 
 
 _BIGU = jnp.uint32(0xFFFFFFFF)
 _BIGI = jnp.int32(0x7FFFFFFF)
 
-_MINE_PREFIX = 16384        # near-range miner: exact grams on this prefix
+_MINE_PREFIX = 4096         # near-range miner: exact grams on this prefix
+                            # (round 4: 16384 -> 4096 — the prefix sorts
+                            # were the dominant mining cost at 512-row
+                            # clevel-5 batches, 9.2 of 27 ms; distances
+                            # > 4096 that are 16-aligned stay visible to
+                            # the fold16 miner, and the static candidate
+                            # set owns everything <= 256)
 _FOLD_G = 16                # far-range miner: group-fold factor
 # fixed pseudo-random per-lane multipliers for the group-fold hash
 _FOLD_W = tuple(((2654435761 * (k + 1)) >> 13) & 0xFF for k in range(_FOLD_G))
@@ -297,24 +307,28 @@ def mine_group(s: jax.Array, d_row: jax.Array,
     Returns (d_m (N,) i32 with 0 = not adopted, eq_m (N, n) bool).
     """
     N, n = s.shape
-    dp = _mine_distance(s[:, :min(n, _MINE_PREFIX)]) if n >= 1024 else \
-        jnp.zeros((N,), I32)
-    if n >= 32768 and n % _FOLD_G == 0:
-        dg = _mine_distance(_fold16(s), 1, max_d // _FOLD_G) * _FOLD_G
-        dg = jnp.where(dg < n, dg, 0)
+    if n >= 1024:
+        dp, hp = _mine_distance(s[:, :min(n, _MINE_PREFIX)])
     else:
-        dg = jnp.zeros((N,), I32)
+        dp = hp = jnp.zeros((N,), I32)
+    if n >= 32768 and n % _FOLD_G == 0:
+        dg, hg = _mine_distance(_fold16(s), 1, max_d // _FOLD_G)
+        dg = dg * _FOLD_G
+        dg = jnp.where(dg < n, dg, 0)
+        hg = jnp.where(dg > 0, hg * _FOLD_G, 0)  # hits count 16-byte groups
+    else:
+        dg = hg = jnp.zeros((N,), I32)
     dp = jnp.where(dp <= max_d, dp, 0)
+    hp = jnp.where(dp > 0, hp, 0)
 
     def verify(_):
-        eqp = _eq_at(s, jnp.maximum(dp, 1))
-        covp = jnp.where(dp > 0, jnp.sum(eqp.astype(I32), axis=1), -1)
-        eqg = _eq_at(s, jnp.maximum(dg, 1))
-        covg = jnp.where(dg > 0, jnp.sum(eqg.astype(I32), axis=1), -1)
-        use_g = covg > covp
+        # ONE exact verification, of the candidate with more estimated
+        # coverage (miner hits, byte-scaled) — the second _eq_at pass
+        # bought nothing measurable and cost ~25% of mine_group
+        use_g = hg > hp
         d = jnp.where(use_g, dg, dp)
-        cov = jnp.maximum(covg, covp)
-        eq_m = jnp.where(use_g[:, None], eqg, eqp)
+        eq_m = _eq_at(s, jnp.maximum(d, 1))
+        cov = jnp.where(d > 0, jnp.sum(eq_m.astype(I32), axis=1), -1)
         adopt = (cov >= n // 6) & (d > 0) & (d != d_row[:, 0])
         return jnp.where(adopt, d, 0), eq_m & adopt[:, None]
 
@@ -393,7 +407,19 @@ def encode(
     # token bytes + ctrl overhead
     est_csize = n - cov + cov // 170 + n // 33 + 16
     hopeless = (~pure) & (100 * n < min_cratio_x100 * est_csize)
-    cls = jnp.where(pure, 0, jnp.where(hopeless, 2, 1))
+
+    # PURE rows never enter the sequential group map: their emission is
+    # closed-form streaming (_emit_pure), so it runs WHOLE-BATCH — on
+    # shuffled typed data this removes almost every map iteration.
+    # Without mining, HOPELESS rows need nothing either (csize = n; the
+    # caller's stored-raw rule overwrites their slots), so the map then
+    # covers only the NORMAL rows.
+    slots_p, csize_p, est_p = _emit_pure(s, d_row, W)
+    # map classes: 0 = normal, 1 = hopeless (mining probes it);
+    # excluded rows get class 2 (pure always; hopeless when not mining)
+    cls = jnp.where(pure, 2,
+                    jnp.where(hopeless, 1 if mine else 2, 0))
+    ncls = 2 if mine else 1
 
     # group size: wide rows get small groups to bound each group's
     # sort/mining workspace
@@ -406,15 +432,18 @@ def encode(
     # is class-uniform by construction --------------------------------------
     order = jnp.argsort(cls, stable=True)
     inv_order = jnp.argsort(order)
-    counts = jnp.stack([jnp.sum((cls == c).astype(I32)) for c in range(3)])
+    counts = jnp.stack([jnp.sum((cls == c).astype(I32))
+                        for c in range(ncls)])
     padded = -(-counts // G) * G
     base = jnp.concatenate([jnp.zeros((1,), I32),
-                            jnp.cumsum(padded)[:2].astype(I32)])
+                            jnp.cumsum(padded)[:ncls - 1].astype(I32)])
     cum = jnp.concatenate([jnp.zeros((1,), I32),
-                           jnp.cumsum(counts)[:2].astype(I32)])
-    M = (-(-N // G) + 3) * G                 # static slot-count bound
+                           jnp.cumsum(counts)[:ncls - 1].astype(I32)])
+    M = (-(-N // G) + ncls) * G              # static slot-count bound
     j = jnp.arange(M, dtype=I32)
-    c_j = (j >= base[1]).astype(I32) + (j >= base[2]).astype(I32)
+    c_j = jnp.zeros((M,), I32)
+    for cc in range(1, ncls):
+        c_j = c_j + (j >= base[cc]).astype(I32)
     rank = j - base[c_j]
     real = rank < counts[c_j]
     src = jnp.where(real, cum[c_j] + rank, N)
@@ -430,26 +459,23 @@ def encode(
     do = jnp.where(live[:, None], pad_rows(d_row), 1)
     g = M // G
     cgrp = c_j.reshape(g, G)[:, 0]
+    live_g = live.reshape(g, G)[:, 0]        # all-pad groups skip work
 
     zero_dm = jnp.zeros((G,), I32)
 
     def emit_group(t):
-        sg, dg, c0 = t
-
-        def do_pure(_):
-            sl, cs, es = _emit_pure(sg, dg, W)
-            return sl, cs, es, zero_dm
+        sg, dg, c0, lv = t
 
         def do_normal(_):
             mined = mine_group(sg, dg) if mine else None
             sl, cs, es = _emit_full(sg, _eq_for(sg, dg, dists), dg, mined)
             return sl, cs, es, (mined[0] if mined else zero_dm)
 
+        def skip(_):
+            return (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
+                    jnp.zeros((G,), I32), zero_dm)
+
         def do_hopeless(_):
-            raw = (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
-                   jnp.zeros((G,), I32), zero_dm)
-            if not mine:
-                return raw
             # static-hopeless rows still probe the miners (cheap); only
             # when something was adopted does the group pay emission
             mined = mine_group(sg, dg)
@@ -460,23 +486,33 @@ def encode(
                 return sl, cs, es, mined[0]
 
             return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
-                                lambda _: raw, None)
+                                skip, None)
 
-        return jax.lax.cond(
-            c0 == 0, do_pure,
-            lambda a: jax.lax.cond(a == 2, do_hopeless, do_normal, a),
-            c0)
+        def dispatch(_):
+            if not mine:
+                return do_normal(None)
+            return jax.lax.cond(c0 == 1, do_hopeless, do_normal, None)
+
+        return jax.lax.cond(lv, dispatch, skip, None)
 
     slots, csize, est, dm = jax.lax.map(
         emit_group,
-        (so.reshape(g, G, n), do.reshape(g, G, 1), cgrp),
+        (so.reshape(g, G, n), do.reshape(g, G, 1), cgrp, live_g),
     )
     # row i lives in padded slot base[cls_i] + (sorted rank - class cum)
-    dest = base[cls] + inv_order - cum[cls]
+    incl = cls < ncls
+    dest = jnp.where(incl,
+                     base[jnp.minimum(cls, ncls - 1)] + inv_order
+                     - cum[jnp.minimum(cls, ncls - 1)], 0)
     slots = jnp.take(slots.reshape(-1, W), dest, axis=0)
     csize = jnp.take(csize.reshape(-1), dest)
     est = jnp.take(est.reshape(-1), dest)
     dm = jnp.take(dm.reshape(-1), dest)
+    # excluded rows: pure -> closed-form emission; hopeless (no mining)
+    # -> the entropy abort (csize = n, slots irrelevant: stored raw)
+    slots = jnp.where(pure[:, None], slots_p, slots)
+    csize = jnp.where(pure, csize_p, jnp.where(incl, csize, n))
+    est = jnp.where(pure, est_p, est)
     # the entropy abort stands unless mining adopted a distance
     csize = jnp.where(hopeless & (dm == 0), n, csize)
     return slots, csize, est

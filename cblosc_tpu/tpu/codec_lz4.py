@@ -60,16 +60,16 @@ def encode(
     idx = jnp.arange(n, dtype=I32)
 
     # -- distance selection (shared proxy with the blosclz encoder; the
-    #    eq mask is recomputed per group from d_row, see codec._eq_for) --
+    #    eq mask is recomputed per group from d_row, see codec._eq_for;
+    #    static slices instead of concatenate — no shifted copies) -----
     covs = []
     for d in dists:
-        if d < n:
-            prev = jnp.concatenate([s[:, :d], s[:, :-d]], axis=1)
-            e = (s == prev) & (idx >= d)
+        if d < n - 2:
+            e = s[:, d:] == s[:, :n - d]
+            h3 = e[:, 2:] & e[:, 1:-1] & e[:, :-2]
+            covs.append(jnp.sum(h3.astype(I32), axis=1))
         else:
-            e = jnp.zeros_like(s, dtype=bool)
-        covs.append(jnp.sum((e[:, 2:] & e[:, 1:-1] & e[:, :-2]).astype(I32),
-                            axis=1))
+            covs.append(jnp.zeros((N,), I32))
     stack = jnp.stack(covs, 0)
     best = jnp.argmin(-stack, axis=0)
     d_row0 = jnp.asarray(dists, I32)[best][:, None]

@@ -46,7 +46,11 @@ def chained(step, reps: int):
     hoist nor eliminate any iteration. `step(x) -> int32 scalar` must
     depend on all outputs being timed; the mutated byte is x[0, 0] —
     callers timing DECODERS must instead mutate a byte provably outside
-    every stream (see bench.py chain_u8)."""
+    every stream (see bench.py). NOTE: a scalar consumer only forces the
+    work the scalar DEPENDS on — when the bytes themselves are the
+    product (codec outputs), use carry_chained so they are materialized
+    (round 4: out[0,0]+err.sum() let XLA slice the template decode's
+    tile writes away — 5x inflation)."""
     import jax
 
     @jax.jit
@@ -55,5 +59,33 @@ def chained(step, reps: int):
             r = step(x)
             return x.at[0, 0].set(x[0, 0] ^ (r % 2).astype(x.dtype))
         return jax.lax.fori_loop(0, reps, body, x)
+
+    return many
+
+
+def carry_chained(step, reps: int, flip_pos: int = 0):
+    """Honest output-materializing timing loop: `step(x) -> tuple of
+    arrays`; every output rides in the fori_loop carry, so XLA must
+    write it to HBM each iteration (the semantics of a codec whose
+    consumer reads the buffer). The input byte at [0, flip_pos] is
+    xored with a bit of the first output, serializing iterations;
+    decoder callers pass a flip_pos provably outside every stream."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(x):
+        outs0 = jax.tree_util.tree_map(
+            lambda t: jnp.zeros(t.shape, t.dtype), jax.eval_shape(step, x))
+
+        def body(i, st):
+            xx = st[0]
+            outs = step(xx)
+            fb = jax.tree_util.tree_leaves(outs)[0].reshape(-1)[0]
+            fb = fb.astype(jnp.int32) % 2
+            xx = xx.at[0, flip_pos].set(
+                xx[0, flip_pos] ^ fb.astype(xx.dtype))
+            return (xx,) + tuple(outs)
+        return jax.lax.fori_loop(0, reps, body, (x,) + tuple(outs0))
 
     return many

@@ -75,15 +75,15 @@ for G in (32, 128, 512):
     timeit(f"mine_group ({G} rows)", whole, sg, nb)
 
     def prefix_only(a):
-        d = codec._mine_distance(a[:, :codec._MINE_PREFIX])
-        return d.sum()
+        d, h = codec._mine_distance(a[:, :codec._MINE_PREFIX])
+        return d.sum() + h.sum()
 
     timeit(f"  prefix miner ({G} rows)", prefix_only, sg, nb)
 
     def fold_only(a):
-        d = codec._mine_distance(
+        d, h = codec._mine_distance(
             codec._fold16(a), 1, codec.MAX_FARDIST // codec._FOLD_G)
-        return d.sum()
+        return d.sum() + h.sum()
 
     timeit(f"  fold16 miner ({G} rows)", fold_only, sg, nb)
 

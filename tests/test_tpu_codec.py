@@ -185,7 +185,7 @@ def test_mined_distance_finds_large_periods(rng):
         rng.integers(0, 256, n, dtype=np.uint8),       # no structure
         np.zeros(n, np.uint8),                         # runs only
     ]
-    dm = np.asarray(codec._mine_distance(jnp.asarray(np.stack(rows))))
+    dm = np.asarray(codec._mine_distance(jnp.asarray(np.stack(rows)))[0])
     assert dm[0] == 32768
     assert dm[1] == 251
     assert dm[2] == 0
