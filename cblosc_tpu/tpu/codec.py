@@ -93,11 +93,13 @@ def slot_width(n: int) -> int:
 def _score(s: jax.Array, dists: tuple):
     """Distance selection + purity detection.
 
-    Returns (d_row (N,1) i32, pure (N,) bool, cov (N,) proxy, total (N,)
-    exact eq count). A row is PURE when one run at the chosen distance
-    covers everything matchable ([d, n-1)) — the dominant shape for
-    shuffled typed data — and its whole emission is closed-form
-    (_emit_pure), skipping segmentation scans and the emission sort.
+    Returns (d_row (N,1) i32, pure (N,) bool, cov (N,), total (N,)) with
+    cov == total == the adjacent-pair match count at the chosen distance
+    (the coverage proxy feeding the entropy-probe estimate). A row is
+    PURE when one run at the chosen distance covers everything matchable
+    ([d, n-1)) — the dominant shape for shuffled typed data — and its
+    whole emission is closed-form (_emit_pure), skipping segmentation
+    scans and the emission sort.
 
     The per-row eq MASK is deliberately not returned: materializing every
     candidate's (N, n) mask and selecting one forced ~2x the streaming
@@ -106,30 +108,29 @@ def _score(s: jax.Array, dists: tuple):
     recompute it from d_row with _eq_for at a fraction of the cost.
     """
     N, n = s.shape
-    covs = []
-    tots = []
+    pairs = []
     for d in dists:
-        if d < n - 1:
+        if d < n - 2:
             # e[i] = s[i]==s[i-d] for i in [d, n-1): STATIC SLICES, not
             # a concatenate — the concat materialized a shifted copy of
-            # the whole batch per candidate (9x64 MB of extra traffic)
+            # the whole batch per candidate (9x64 MB of extra traffic).
+            # ONE reduce per candidate, over adjacent PAIRS e[i]&e[i-1]:
+            # pairs rank candidates by run-forming coverage (isolated
+            # single-byte coincidences never emit — min run length is 3)
+            # AND witness purity exactly: with L = n-1-d match slots,
+            # pairs == L-1 iff every slot matches (any miss costs >= 1).
             e = s[:, d:n - 1] == s[:, :n - 1 - d]
-            h3 = e[:, 2:] & e[:, 1:-1] & e[:, :-2] if e.shape[1] > 2 \
-                else jnp.zeros((N, 0), bool)
-            covs.append(jnp.sum(h3.astype(I32), axis=1))
-            tots.append(jnp.sum(e.astype(I32), axis=1))
+            p2 = e[:, 1:] & e[:, :-1]
+            pairs.append(jnp.sum(p2.astype(I32), axis=1))
         else:
-            covs.append(jnp.zeros((N,), I32))
-            tots.append(jnp.zeros((N,), I32))
-    stack = jnp.stack(covs, 0)
+            pairs.append(jnp.zeros((N,), I32))
+    stack = jnp.stack(pairs, 0)
     best = jnp.argmin(-stack, axis=0)                    # first (smallest d) max
     d_row = jnp.asarray(dists, I32)[best][:, None]       # (N, 1)
     d = d_row[:, 0]
-    total = jnp.take_along_axis(jnp.stack(tots, 0), best[None, :],
-                                axis=0)[0]
-    pure = (total == n - 1 - d) & (n - 1 - d >= 3) & (d <= 256)
-    cov = jnp.max(stack, axis=0)            # matched-coverage proxy
-    return d_row, pure, cov, total
+    total = jnp.take_along_axis(stack, best[None, :], axis=0)[0]
+    pure = (total == n - 2 - d) & (n - 1 - d >= 3) & (d <= 256)
+    return d_row, pure, total, total
 
 
 def _eq_for(s: jax.Array, d_row: jax.Array, dists: tuple,
@@ -426,88 +427,103 @@ def encode(
     gcap = max(8, (4 << 20) // max(n, 1))
     gcap = 1 << (gcap.bit_length() - 1)
     G = min(_emit_group_rows(), gcap, 1 << (N.bit_length() - 1))
+    incl = cls < ncls
 
-    # ---- class-aligned layout: segment c occupies padded slots
-    # [base[c], base[c] + counts[c]), base G-aligned, so every G-group
-    # is class-uniform by construction --------------------------------------
-    order = jnp.argsort(cls, stable=True)
-    inv_order = jnp.argsort(order)
-    counts = jnp.stack([jnp.sum((cls == c).astype(I32))
-                        for c in range(ncls)])
-    padded = -(-counts // G) * G
-    base = jnp.concatenate([jnp.zeros((1,), I32),
-                            jnp.cumsum(padded)[:ncls - 1].astype(I32)])
-    cum = jnp.concatenate([jnp.zeros((1,), I32),
-                           jnp.cumsum(counts)[:ncls - 1].astype(I32)])
-    M = (-(-N // G) + ncls) * G              # static slot-count bound
-    j = jnp.arange(M, dtype=I32)
-    c_j = jnp.zeros((M,), I32)
-    for cc in range(1, ncls):
-        c_j = c_j + (j >= base[cc]).astype(I32)
-    rank = j - base[c_j]
-    real = rank < counts[c_j]
-    src = jnp.where(real, cum[c_j] + rank, N)
-    src = jnp.take(jnp.concatenate([order, jnp.zeros((1,), I32)]),
-                   jnp.minimum(src, N))
-    live = real
+    def grouped_path(_):
+        # ---- class-aligned layout: segment c occupies padded slots
+        # [base[c], base[c] + counts[c]), base G-aligned, so every
+        # G-group is class-uniform by construction ----------------------
+        order = jnp.argsort(cls, stable=True)
+        inv_order = jnp.argsort(order)
+        counts = jnp.stack([jnp.sum((cls == c).astype(I32))
+                            for c in range(ncls)])
+        padded = -(-counts // G) * G
+        base = jnp.concatenate(
+            [jnp.zeros((1,), I32),
+             jnp.cumsum(padded)[:ncls - 1].astype(I32)])
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), I32),
+             jnp.cumsum(counts)[:ncls - 1].astype(I32)])
+        M = (-(-N // G) + ncls) * G          # static slot-count bound
+        j = jnp.arange(M, dtype=I32)
+        c_j = jnp.zeros((M,), I32)
+        for cc in range(1, ncls):
+            c_j = c_j + (j >= base[cc]).astype(I32)
+        rank = j - base[c_j]
+        real = rank < counts[c_j]
+        src = jnp.where(real, cum[c_j] + rank, N)
+        src = jnp.take(jnp.concatenate([order, jnp.zeros((1,), I32)]),
+                       jnp.minimum(src, N))
+        live = real
 
-    def pad_rows(a, fill=0):
-        extra = jnp.full((1,) + a.shape[1:], fill, a.dtype)
-        return jnp.take(jnp.concatenate([a, extra]), src, axis=0)
+        def pad_rows(a, fill=0):
+            extra = jnp.full((1,) + a.shape[1:], fill, a.dtype)
+            return jnp.take(jnp.concatenate([a, extra]), src, axis=0)
 
-    so = jnp.where(live[:, None], pad_rows(s), 0)
-    do = jnp.where(live[:, None], pad_rows(d_row), 1)
-    g = M // G
-    cgrp = c_j.reshape(g, G)[:, 0]
-    live_g = live.reshape(g, G)[:, 0]        # all-pad groups skip work
+        so = jnp.where(live[:, None], pad_rows(s), 0)
+        do = jnp.where(live[:, None], pad_rows(d_row), 1)
+        g = M // G
+        cgrp = c_j.reshape(g, G)[:, 0]
+        live_g = live.reshape(g, G)[:, 0]    # all-pad groups skip work
 
-    zero_dm = jnp.zeros((G,), I32)
+        zero_dm = jnp.zeros((G,), I32)
 
-    def emit_group(t):
-        sg, dg, c0, lv = t
+        def emit_group(t):
+            sg, dg, c0, lv = t
 
-        def do_normal(_):
-            mined = mine_group(sg, dg) if mine else None
-            sl, cs, es = _emit_full(sg, _eq_for(sg, dg, dists), dg, mined)
-            return sl, cs, es, (mined[0] if mined else zero_dm)
-
-        def skip(_):
-            return (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
-                    jnp.zeros((G,), I32), zero_dm)
-
-        def do_hopeless(_):
-            # static-hopeless rows still probe the miners (cheap); only
-            # when something was adopted does the group pay emission
-            mined = mine_group(sg, dg)
-
-            def emit_mined(_):
+            def do_normal(_):
+                mined = mine_group(sg, dg) if mine else None
                 sl, cs, es = _emit_full(sg, _eq_for(sg, dg, dists), dg,
                                         mined)
-                return sl, cs, es, mined[0]
+                return sl, cs, es, (mined[0] if mined else zero_dm)
 
-            return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
-                                skip, None)
+            def skip(_):
+                return (jnp.zeros((G, W), U8), jnp.full((G,), n, I32),
+                        jnp.zeros((G,), I32), zero_dm)
 
-        def dispatch(_):
-            if not mine:
-                return do_normal(None)
-            return jax.lax.cond(c0 == 1, do_hopeless, do_normal, None)
+            def do_hopeless(_):
+                # static-hopeless rows still probe the miners (cheap);
+                # only when something was adopted does the group pay
+                # emission
+                mined = mine_group(sg, dg)
 
-        return jax.lax.cond(lv, dispatch, skip, None)
+                def emit_mined(_):
+                    sl, cs, es = _emit_full(
+                        sg, _eq_for(sg, dg, dists), dg, mined)
+                    return sl, cs, es, mined[0]
 
-    slots, csize, est, dm = jax.lax.map(
-        emit_group,
-        (so.reshape(g, G, n), do.reshape(g, G, 1), cgrp, live_g),
-    )
-    # row i lives in padded slot base[cls_i] + (sorted rank - class cum)
-    incl = cls < ncls
-    dest = jnp.where(incl,
-                     base[jnp.minimum(cls, ncls - 1)] + inv_order
-                     - cum[jnp.minimum(cls, ncls - 1)], 0)
-    slots = jnp.take(slots.reshape(-1, W), dest, axis=0)
-    csize = jnp.take(csize.reshape(-1), dest)
-    est = jnp.take(est.reshape(-1), dest)
-    dm = jnp.take(dm.reshape(-1), dest)
+                return jax.lax.cond(jnp.any(mined[0] > 0), emit_mined,
+                                    skip, None)
+
+            def dispatch(_):
+                if not mine:
+                    return do_normal(None)
+                return jax.lax.cond(c0 == 1, do_hopeless, do_normal,
+                                    None)
+
+            return jax.lax.cond(lv, dispatch, skip, None)
+
+        slots, csize, est, dm = jax.lax.map(
+            emit_group,
+            (so.reshape(g, G, n), do.reshape(g, G, 1), cgrp, live_g),
+        )
+        # row i's padded slot: base[cls_i] + (sorted rank - class cum)
+        dest = jnp.where(incl,
+                         base[jnp.minimum(cls, ncls - 1)] + inv_order
+                         - cum[jnp.minimum(cls, ncls - 1)], 0)
+        return (jnp.take(slots.reshape(-1, W), dest, axis=0),
+                jnp.take(csize.reshape(-1), dest),
+                jnp.take(est.reshape(-1), dest),
+                jnp.take(dm.reshape(-1), dest))
+
+    # the whole grouped machinery (layout sorts, gathers, the
+    # sequential map) is skipped when every row is pure or excluded —
+    # the common case for shuffled typed data at speed clevels
+    slots, csize, est, dm = jax.lax.cond(
+        jnp.any(incl), grouped_path,
+        lambda _: (jnp.zeros((N, W), U8), jnp.full((N,), n, I32),
+                   jnp.zeros((N,), I32), jnp.zeros((N,), I32)),
+        None)
     # excluded rows: pure -> closed-form emission; hopeless (no mining)
     # -> the entropy abort (csize = n, slots irrelevant: stored raw)
     slots = jnp.where(pure[:, None], slots_p, slots)
