@@ -1035,31 +1035,38 @@ def decode(slots: jax.Array, csizes: jax.Array, out_len: int,
     else:
         tmatch, d_t, pat, tail = tm
         cs_rest = jnp.where(tmatch, 0, csizes)
+
+        # the walk machinery AND its merge live inside one cond: when
+        # templates cover every live row (the dominant case), the whole
+        # batch is ONE fused tile+select pass — no zero buffers, no
+        # second merge
+        def with_walk(_):
+            sk_w, handled_w = decode_core(_walk_batch, slots, cs_rest,
+                                          out_len, maxrec)
+            tile = _tile_from_pattern(pat, d_t, tail, out_len)
+            return (jnp.where(tmatch[:, None], tile, sk_w),
+                    handled_w | tmatch)
+
+        def tile_only(_):
+            tile = _tile_from_pattern(pat, d_t, tail, out_len)
+            return jnp.where(tmatch[:, None], tile, 0), tmatch
+
         sk, handled = jax.lax.cond(
-            jnp.any(cs_rest > 0),
-            lambda _: decode_core(_walk_batch, slots, cs_rest, out_len,
-                                  maxrec),
-            lambda _: (jnp.zeros((N, out_len), U8),
-                       jnp.zeros((N,), bool)),
-            None)
-        tile = jax.lax.cond(
-            jnp.any(tmatch),
-            lambda _: _tile_from_pattern(pat, d_t, tail, out_len),
-            lambda _: jnp.zeros((N, out_len), U8),
-            None)
-        sk = jnp.where(tmatch[:, None], tile, sk)
-        handled = handled | tmatch
+            jnp.any(cs_rest > 0), with_walk, tile_only, None)
 
     # fallback rows (csize of handled rows masked to 0 => loop skips
-    # them); skipped entirely when every live row was handled
-    fb_out, fb_prod, fb_err = jax.lax.cond(
-        jnp.any(~handled & (csizes > 0)),
-        lambda _: codec.decode(slots, jnp.where(handled, 0, csizes),
-                               out_len),
-        lambda _: (jnp.zeros((N, out_len), U8), jnp.zeros((N,), I32),
-                   csizes <= 0),
-        None)
-    out = jnp.where(handled[:, None], sk, fb_out)
-    produced = jnp.where(handled, out_len, fb_prod)
-    err = jnp.where(handled, False, fb_err)
-    return out, produced, err
+    # them); when every live row was handled the merge is skipped too —
+    # unhandled rows are then exactly the csize-0 rows, whose sk bytes
+    # are already zero
+    def with_fb(_):
+        fb_out, fb_prod, fb_err = codec.decode(
+            slots, jnp.where(handled, 0, csizes), out_len)
+        return (jnp.where(handled[:, None], sk, fb_out),
+                jnp.where(handled, out_len, fb_prod),
+                jnp.where(handled, False, fb_err))
+
+    def no_fb(_):
+        return (sk, jnp.where(handled, out_len, 0), ~handled)
+
+    return jax.lax.cond(
+        jnp.any(~handled & (csizes > 0)), with_fb, no_fb, None)
