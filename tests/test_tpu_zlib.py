@@ -186,8 +186,11 @@ def test_zlib_golden_rows_on_device():
     handled = ~np.asarray(err)
     assert handled.any(), "some golden splits must decode on device"
     ref_block = want[: hdr.blocksize]
-    # undo the split interleave: split s holds byte-plane s of the block
-    planes = ref_block.reshape(nsplits, neblock)
+    # split s holds byte-plane s of the SHUFFLED block: the strided
+    # view of the unshuffled bytes, NOT a contiguous quarter (verified
+    # against python-zlib decode of the raw split streams; the round-4
+    # axon-leg run caught the old contiguous-reshape expectation)
+    planes = ref_block.reshape(neblock, nsplits).T
     for s in range(nsplits):
         if handled[s]:
             assert np.array_equal(np.asarray(out)[s], planes[s]), s
