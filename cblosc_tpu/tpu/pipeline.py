@@ -56,7 +56,20 @@ def _codec_mod(compcode: int):
 # The encoder's sort keys cost 8 bytes per input byte transiently; group
 # rows so peak device memory stays bounded on big batches (a 256 MB batch
 # would otherwise materialize ~2 GB of keys plus sort workspace).
+# CBLOSC_TPU_ENCODE_GROUP overrides (bytes) for geometry tuning.
 _ENCODE_GROUP_BYTES = 64 << 20
+
+
+def _encode_group_bytes() -> int:
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_ENCODE_GROUP")
+    if v:
+        try:
+            return max(1 << 20, min(int(v), 1 << 30))
+        except ValueError:
+            pass
+    return _ENCODE_GROUP_BYTES
 
 
 def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
@@ -69,7 +82,7 @@ def _encode_grouped(streams: jax.Array, compcode: int = C.BLOSCLZ,
     # the dual miner's candidate sorts are sub-row-width, but exact
     # verification still materializes an extra (rows, n) compare; halve
     # the group so transient workspace stays bounded
-    group_bytes = _ENCODE_GROUP_BYTES // (2 if mine else 1)
+    group_bytes = _encode_group_bytes() // (2 if mine else 1)
     group = max(group_bytes // max(n, 1), 8)
     if rows <= group:
         return enc(streams)
@@ -169,7 +182,7 @@ def decompress_blocks(
         return dec0(sl, cs, n, maxrec_hint)
     dec_cs = jnp.where(raw, 0, csizes)
     rows, _ = slots.shape
-    group = max(_ENCODE_GROUP_BYTES // max(neblock, 1), 8)
+    group = max(_encode_group_bytes() // max(neblock, 1), 8)
     if rows <= group:
         decoded, produced, err = dec(slots, dec_cs, neblock)
     else:
