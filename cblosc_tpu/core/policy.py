@@ -153,16 +153,17 @@ def compute_blocksize_device(
     elif clevel <= 4:
         neblock = 8192
     elif clevel <= 8:
-        # Balanced splits (round-4 A/B, CBLOSC_TPU_NEBLOCK sweep): the
-        # reference-like 128 KB geometry compressed at ~4 GB/s because
-        # the miners and the emission sort pay per-lane costs that grow
-        # with split width; 32 KB measured 10.2 GB/s at the same bench
-        # ratio, and still reaches ratio ~97x on the 1 MB int32 ramp
-        # (vs the reference's own 25.2x clevel-5 ramp ratio,
-        # examples/simple.c:23-26). Far periods beyond 32 KB are
-        # clevel-9 territory, whose 256 KB splits keep the full mining
-        # reach (ratio 189x on the ramp).
-        neblock = 32768
+        # The reference's own clevel-5 geometry (1 MB block / typesize
+        # splits, blosc.c:996-1047): long splits amortize each split's
+        # incompressible literal prefix and let the mined far-distance
+        # matches (codec._mine_distance) reach the large byte-plane
+        # periods of shuffled counters — an int64 ramp's plane-1
+        # staircase repeats at 65536 bytes, so a round-4 A/B that
+        # shrank this to 32 KB (10.2 vs 4 GB/s compress) doubled the
+        # ramp csize and failed the match-or-beat-host ratio gate;
+        # clevel >= 5 stays a ratio level. Speed comes from cheaper
+        # mining instead (codec._fold_g, 4 KB exact prefix).
+        neblock = 131072
     else:
         neblock = 262144        # max ratio; decoder MAX_OUT boundary
     nsplits = typesize if split_block(

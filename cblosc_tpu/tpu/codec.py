@@ -267,21 +267,34 @@ _MINE_PREFIX = 4096         # near-range miner: exact grams on this prefix
                             # the fold16 miner, and the static candidate
                             # set owns everything <= 256)
 _FOLD_G = 16                # far-range miner: group-fold factor
-# fixed pseudo-random per-lane multipliers for the group-fold hash
-_FOLD_W = tuple(((2654435761 * (k + 1)) >> 13) & 0xFF for k in range(_FOLD_G))
 
 
-def _fold16(s: jax.Array) -> jax.Array:
-    """Fold every _FOLD_G bytes to one hash byte: a repeat of 4
-    consecutive hash bytes at group-gap g implies (whp) a true 64-byte
-    repeat at byte distance 16*g — full-range structure at 1/16 the
-    mining cost (only distances ≡ 0 mod 16 are visible; the prefix
-    miner owns the rest)."""
+def _fold_g(n: int) -> int:
+    """Fold factor by row width: wide rows (the clevel>=5 reference
+    geometry) fold 32:1 so the fold sort stays ~4K lanes — halving the
+    dominant mining cost at 128 KB splits while still reaching every
+    distance ≡ 0 mod 32 (the byte-plane staircases of shuffled
+    counters are power-of-two periods well above 32)."""
+    return 32 if n >= 131072 else _FOLD_G
+
+
+def _fold(s: jax.Array, G: int) -> jax.Array:
+    """Fold every G bytes to one hash byte: a repeat of 4 consecutive
+    hash bytes at group-gap g implies (whp) a true 4G-byte repeat at
+    byte distance G*g — full-range structure at 1/G the mining cost
+    (only distances ≡ 0 mod G are visible; the exact prefix miner owns
+    the near range)."""
     N, n = s.shape
-    g = s.reshape(N, n // _FOLD_G, _FOLD_G).astype(jnp.uint32)
-    w = jnp.asarray(_FOLD_W, jnp.uint32)[None, None, :]
+    g = s.reshape(N, n // G, G).astype(jnp.uint32)
+    w = jnp.asarray(
+        tuple(((2654435761 * (k + 1)) >> 13) & 0xFF for k in range(G)),
+        jnp.uint32)[None, None, :]
     h = jnp.sum(g * w, axis=2)
     return ((h ^ (h >> 8) ^ (h >> 16)) & 0xFF).astype(U8)
+
+
+def _fold16(s: jax.Array) -> jax.Array:     # compat shim (probes)
+    return _fold(s, _FOLD_G)
 
 
 def mine_group(s: jax.Array, d_row: jax.Array,
@@ -290,7 +303,7 @@ def mine_group(s: jax.Array, d_row: jax.Array,
 
     Two cheap candidate miners run unconditionally: exact 4-gram mining
     on a _MINE_PREFIX-byte prefix (any distance < prefix) and 4-gram
-    mining over the _fold16 hash stream (full row, distances ≡ 0 mod 16
+    mining over the folded hash stream (full row, distances ≡ 0 mod FG
     — the far byte-plane periods of shuffled counters, e.g. the d=64000
     staircase that made mining worth 24% on the ramp workload). Exact
     coverage verification (_eq_at, one dynamic-slice + compare per
@@ -312,11 +325,12 @@ def mine_group(s: jax.Array, d_row: jax.Array,
         dp, hp = _mine_distance(s[:, :min(n, _MINE_PREFIX)])
     else:
         dp = hp = jnp.zeros((N,), I32)
-    if n >= 32768 and n % _FOLD_G == 0:
-        dg, hg = _mine_distance(_fold16(s), 1, max_d // _FOLD_G)
-        dg = dg * _FOLD_G
+    FG = _fold_g(n)
+    if n >= 32768 and n % FG == 0:
+        dg, hg = _mine_distance(_fold(s, FG), 1, max_d // FG)
+        dg = dg * FG
         dg = jnp.where(dg < n, dg, 0)
-        hg = jnp.where(dg > 0, hg * _FOLD_G, 0)  # hits count 16-byte groups
+        hg = jnp.where(dg > 0, hg * FG, 0)   # hits count FG-byte groups
     else:
         dg = hg = jnp.zeros((N,), I32)
     dp = jnp.where(dp <= max_d, dp, 0)
@@ -511,22 +525,27 @@ def encode(
         dest = jnp.where(incl,
                          base[jnp.minimum(cls, ncls - 1)] + inv_order
                          - cum[jnp.minimum(cls, ncls - 1)], 0)
-        return (jnp.take(slots.reshape(-1, W), dest, axis=0),
+        sl_g = jnp.take(slots.reshape(-1, W), dest, axis=0)
+        return (jnp.where(pure[:, None], slots_p, sl_g),
                 jnp.take(csize.reshape(-1), dest),
                 jnp.take(est.reshape(-1), dest),
                 jnp.take(dm.reshape(-1), dest))
 
     # the whole grouped machinery (layout sorts, gathers, the
     # sequential map) is skipped when every row is pure or excluded —
-    # the common case for shuffled typed data at speed clevels
+    # the common case for shuffled typed data at speed clevels. Each
+    # branch returns the FINAL slot bytes (pure rows merged inside):
+    # the trivial branch hands back slots_p untouched — hopeless rows'
+    # garbage there is dead, their csize = n routes them through the
+    # caller's stored-raw overwrite
     slots, csize, est, dm = jax.lax.cond(
         jnp.any(incl), grouped_path,
-        lambda _: (jnp.zeros((N, W), U8), jnp.full((N,), n, I32),
+        lambda _: (slots_p, jnp.full((N,), n, I32),
                    jnp.zeros((N,), I32), jnp.zeros((N,), I32)),
         None)
-    # excluded rows: pure -> closed-form emission; hopeless (no mining)
-    # -> the entropy abort (csize = n, slots irrelevant: stored raw)
-    slots = jnp.where(pure[:, None], slots_p, slots)
+    # excluded rows: pure -> closed-form emission (slot bytes already
+    # merged inside the branches); hopeless (no mining) -> the entropy
+    # abort (csize = n, slots irrelevant: stored raw)
     csize = jnp.where(pure, csize_p, jnp.where(incl, csize, n))
     est = jnp.where(pure, est_p, est)
     # the entropy abort stands unless mining adopted a distance
