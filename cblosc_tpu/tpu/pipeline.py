@@ -120,17 +120,39 @@ def compress_blocks(
     """
     nblocks, blocksize = blocks.shape
     neblock = blocksize // nsplits
-    filtered = filters.apply_filter(doshuffle, typesize, blocks)
-    streams = filtered.reshape(nblocks * nsplits, neblock)
-    slots, csizes, est_iters = _encode_grouped(streams, compcode,
-                                                min_cratio_x100, mine)
-    raw = csizes >= neblock
-    if min_bytes_per_iter:
-        raw |= est_iters > max(neblock // min_bytes_per_iter, 32)
-    csizes = jnp.where(raw, neblock, csizes)
-    padded = jnp.pad(streams, ((0, 0), (0, slots.shape[1] - neblock)))
-    slots = jnp.where(raw[:, None], padded, slots)
-    return slots, csizes
+
+    def one_batch(blk):
+        filtered = filters.apply_filter(doshuffle, typesize, blk)
+        streams = filtered.reshape(blk.shape[0] * nsplits, neblock)
+        slots, csizes, est_iters = _encode_grouped(
+            streams, compcode, min_cratio_x100, mine)
+        raw = csizes >= neblock
+        if min_bytes_per_iter:
+            raw |= est_iters > max(neblock // min_bytes_per_iter, 32)
+        csizes = jnp.where(raw, neblock, csizes)
+        padded = jnp.pad(streams,
+                         ((0, 0), (0, slots.shape[1] - neblock)))
+        slots = jnp.where(raw[:, None], padded, slots)
+        return slots, csizes
+
+    # batches beyond the encode-group budget run as a lax.map over
+    # sub-batches of WHOLE BLOCKS: XLA's codegen for the filter
+    # transpose and the score compares degrades superlinearly past
+    # ~64 MB operands (measured 4x on the filter at 128 MB), so keeping
+    # each sub-program at the 64 MB shape is faster than one big
+    # program — and the filter/encode are block-parallel by definition
+    gbytes = _encode_group_bytes()
+    bpg = max(gbytes // blocksize, 1)
+    if nblocks <= bpg:
+        return one_batch(blocks)
+    g = -(-nblocks // bpg)
+    pad = g * bpg - nblocks
+    bp = jnp.pad(blocks, ((0, pad), (0, 0)))
+    slots, csizes = jax.lax.map(
+        one_batch, bp.reshape(g, bpg, blocksize))
+    rows = nblocks * nsplits
+    return (slots.reshape(g * bpg * nsplits, -1)[:rows],
+            csizes.reshape(-1)[:rows])
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
