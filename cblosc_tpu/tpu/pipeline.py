@@ -202,28 +202,36 @@ def decompress_blocks(
 
     def dec(sl, cs, n):
         return dec0(sl, cs, n, maxrec_hint)
-    dec_cs = jnp.where(raw, 0, csizes)
+
+    def one_batch(sl, cs, rawg):
+        dec_cs = jnp.where(rawg, 0, cs)
+        decoded, produced, errg = dec(sl, dec_cs, neblock)
+        streams = jnp.where(rawg[:, None], sl[:, :neblock], decoded)
+        errg = jnp.where(rawg, False, errg | (produced != neblock))
+        blk = streams.reshape(sl.shape[0] // nsplits, nsplits * neblock)
+        return filters.undo_filter(doshuffle, typesize, blk), errg
+
+    # sub-batch WHOLE BLOCKS past the group budget, decode + unfilter
+    # inside each sub-program (the same >64 MB XLA codegen cliff the
+    # compress side hits on the filter transpose; see compress_blocks)
     rows, _ = slots.shape
-    group = max(_encode_group_bytes() // max(neblock, 1), 8)
+    blocksize = neblock * nsplits
+    bpg = max(_encode_group_bytes() // max(blocksize, 1), 1)
+    group = bpg * nsplits
     if rows <= group:
-        decoded, produced, err = dec(slots, dec_cs, neblock)
-    else:
-        pad = (-rows) % group
-        sp = jnp.pad(slots, ((0, pad), (0, 0)))
-        cp = jnp.pad(dec_cs, (0, pad))
-        decoded, produced, err = jax.lax.map(
-            lambda t: dec(t[0], t[1], neblock),
-            (sp.reshape(-1, group, sp.shape[1]), cp.reshape(-1, group)),
-        )
-        decoded = decoded.reshape(-1, neblock)[:rows]
-        produced = produced.reshape(-1)[:rows]
-        err = err.reshape(-1)[:rows]
-    streams = jnp.where(raw[:, None], slots[:, :neblock], decoded)
-    err = jnp.where(raw, False, err | (produced != neblock))
-    nrows = slots.shape[0]
-    blocks = streams.reshape(nrows // nsplits, nsplits * neblock)
-    blocks = filters.undo_filter(doshuffle, typesize, blocks)
-    return blocks, err
+        return one_batch(slots, csizes, raw)
+    pad = (-rows) % group
+    sp = jnp.pad(slots, ((0, pad), (0, 0)))
+    cp = jnp.pad(csizes, (0, pad))
+    rp = jnp.pad(raw, (0, pad), constant_values=True)
+    g = sp.shape[0] // group
+    blocks, err = jax.lax.map(
+        lambda t: one_batch(t[0], t[1], t[2]),
+        (sp.reshape(g, group, sp.shape[1]), cp.reshape(g, group),
+         rp.reshape(g, group)),
+    )
+    return (blocks.reshape(-1, blocksize)[: rows // nsplits],
+            err.reshape(-1)[:rows])
 
 
 def decode_slot_width(neblock: int, compcode: int = C.BLOSCLZ) -> int:

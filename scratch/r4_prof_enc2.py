@@ -21,7 +21,7 @@ from cblosc_tpu.utils.timing import carry_chained, readback_latency, synth
 
 I32 = jnp.int32
 reps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-ws = 64 << 20
+ws = int(sys.argv[2]) if len(sys.argv) > 2 else 64 << 20
 typesize, sbits, doshuffle, clevel = 8, 19, 1, 1
 
 blocksize = policy.compute_blocksize_device(clevel, typesize, ws)
