@@ -274,7 +274,16 @@ def _fold_g(n: int) -> int:
     geometry) fold 32:1 so the fold sort stays ~4K lanes — halving the
     dominant mining cost at 128 KB splits while still reaching every
     distance ≡ 0 mod 32 (the byte-plane staircases of shuffled
-    counters are power-of-two periods well above 32)."""
+    counters are power-of-two periods well above 32).
+    CBLOSC_TPU_FOLD_G overrides for on-chip tuning."""
+    import os
+
+    v = os.environ.get("CBLOSC_TPU_FOLD_G")
+    if v:
+        try:
+            return max(4, min(int(v), 256))
+        except ValueError:
+            pass
     return 32 if n >= 131072 else _FOLD_G
 
 

@@ -225,11 +225,23 @@ def decompress_blocks(
     cp = jnp.pad(csizes, (0, pad))
     rp = jnp.pad(raw, (0, pad), constant_values=True)
     g = sp.shape[0] // group
-    blocks, err = jax.lax.map(
-        lambda t: one_batch(t[0], t[1], t[2]),
-        (sp.reshape(g, group, sp.shape[1]), cp.reshape(g, group),
-         rp.reshape(g, group)),
-    )
+    if g <= 4:
+        # unrolled: lax.map's dynamic slice/update per group measured
+        # ~20% of the whole 128 MB decompress; at small g the program
+        # size stays reasonable and XLA schedules the groups back to
+        # back with plain static slices
+        outs = [one_batch(sp[i * group:(i + 1) * group],
+                          cp[i * group:(i + 1) * group],
+                          rp[i * group:(i + 1) * group])
+                for i in range(g)]
+        blocks = jnp.concatenate([o[0] for o in outs])
+        err = jnp.concatenate([o[1] for o in outs])
+    else:
+        blocks, err = jax.lax.map(
+            lambda t: one_batch(t[0], t[1], t[2]),
+            (sp.reshape(g, group, sp.shape[1]), cp.reshape(g, group),
+             rp.reshape(g, group)),
+        )
     return (blocks.reshape(-1, blocksize)[: rows // nsplits],
             err.reshape(-1)[:rows])
 

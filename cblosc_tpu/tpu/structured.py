@@ -577,8 +577,9 @@ def _tile_from_pattern(pat: jax.Array, dist: jax.Array, tbyte: jax.Array,
                        out_len: int) -> jax.Array:
     """Tile per-row patterns to out_len and patch the tail byte.
 
-    pat: (N, 256) int32 pattern prefix (garbage past the row's distance
-    is fine — the doubling passes overwrite lanes >= d); dist: (N,) i32
+    pat: (N, 256) integer pattern prefix, any int dtype (garbage past
+    the row's distance is fine — the doubling passes overwrite lanes
+    >= d); dist: (N,) i32
     power-of-two distances <= 256; tbyte: (N,) i32 final output byte.
     The doubling expands a d-periodic prefix to all 256 lanes with 8
     static bit-clearing passes (pat[j] := pat[j & ~w] wherever d <= w —
@@ -587,13 +588,17 @@ def _tile_from_pattern(pat: jax.Array, dist: jax.Array, tbyte: jax.Array,
     dynamic-shape ops (an int32 broadcast + scatter measured 2x slower
     than the whole expand-kernel path this replaces)."""
     N = pat.shape[0]
+    # byte-wide doubling: the passes only move bytes, so running them in
+    # u8 quarters the HBM traffic vs i32 (8 passes over (N, 256) are
+    # ~40% of the whole template decode at 64 MB groups)
+    pat = pat.astype(U8)
     d = jnp.maximum(dist, 1)[:, None]
     col = jnp.arange(256, dtype=I32)[None, :]
     for k in range(8):
         w = 1 << k
         shifted = pat[:, (np.arange(256) & ~w)]
         pat = jnp.where((d <= w) & ((col & w) != 0), shifted, pat)
-    pat8 = pat.astype(U8)
+    pat8 = pat
     tiles = out_len // 256
     out = jnp.broadcast_to(pat8[:, None, :], (N, tiles, 256))
     tile_i = jnp.arange(tiles, dtype=I32)[None, :, None]
@@ -665,7 +670,7 @@ def _template_table(out_len: int):
 def _template_match(slots: jax.Array, csizes: jax.Array, out_len: int):
     """Recognize PURE-template rows with elementwise ops only.
 
-    Returns (match (N,) bool, d (N,) i32, pat (N, 256) i32 pattern
+    Returns (match (N,) bool, d (N,) i32, pat (N, 256) u8 pattern
     prefix, tail (N,) i32 last output byte), or None when no template
     applies at this geometry. At most one template validates any
     conforming stream (csize pins kp and the structural compares pin
@@ -683,22 +688,28 @@ def _template_match(slots: jax.Array, csizes: jax.Array, out_len: int):
     PT = max(264, max(cs for _, cs, _, _ in tmpl))
     PT = -(-PT // 128) * 128
     pre = (slots[:, :PT] if W >= PT
-           else jnp.pad(slots, ((0, 0), (0, PT - W)))).astype(I32)
+           else jnp.pad(slots, ((0, 0), (0, PT - W))))
+    # ONE static-index gather pulls every position any template pins
+    # (~130 columns) plus each template's tail column; the per-template
+    # checks then compare ~14 u8 columns instead of a masked full-width
+    # i32 compare (9 x (N, 384) i32 reads measured as the dominant cost
+    # of the whole template decode at 64 MB groups)
+    allpos = np.concatenate(
+        [np.concatenate([pos, [csz - 1]]) for _, csz, pos, _ in tmpl])
+    sel = pre[:, allpos].astype(I32)
     match = jnp.zeros((N,), bool)
     dsel = jnp.zeros((N,), I32)
     tail = jnp.zeros((N,), I32)
+    off = 0
     for d, csz, pos, val in tmpl:
-        sv = np.zeros((PT,), np.int32)
-        sm = np.zeros((PT,), bool)
-        sv[pos] = val
-        sm[pos] = True
+        k = len(pos)
         okr = (csizes == csz) & jnp.all(
-            (pre == jnp.asarray(sv)[None, :]) | ~jnp.asarray(sm)[None, :],
-            axis=1)
+            sel[:, off:off + k] == jnp.asarray(val)[None, :], axis=1)
         new = okr & ~match
         dsel = jnp.where(new, d, dsel)
-        tail = jnp.where(new, pre[:, csz - 1], tail)
+        tail = jnp.where(new, sel[:, off + k], tail)
         match = match | okr
+        off += k + 1
     # pattern byte j sits at stream position j + 1 + j//32 (one control
     # byte per 33 emitted bytes) — a STATIC index map, so extraction is
     # one constant-index reshuffle, not a gather

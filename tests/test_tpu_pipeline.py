@@ -161,3 +161,48 @@ def test_tpu_decodes_golden_all_device_codecs(name):
         assert got == want
     # and the routed byte API always lands on the right bytes
     assert b.decompress_ctx(chunk, backend="tpu") == want
+
+
+@pytest.mark.parametrize("nblocks", [256, 640])
+def test_tpu_grouped_pipeline_matches_single_batch(rng, nblocks,
+                                                   monkeypatch):
+    """Sub-batched (grouped) pipeline paths produce the same bytes as
+    the single-batch program: nblocks=256 at a 1 MB group budget takes
+    the unrolled branch (g=4), 640 the lax.map branch (g=10). The
+    default 64 MB budget means CPU-leg tests never hit these branches
+    without forcing the knob."""
+    import jax.numpy as jnp
+
+    from cblosc_tpu.tpu import pipeline
+
+    blocksize, typesize, nsplits = 16384, 4, 4
+    neblock = blocksize // nsplits
+    data = make_buffer(rng, nblocks * blocksize, typesize, "ramp")
+    blocks = jnp.asarray(
+        np.frombuffer(data, np.uint8).reshape(nblocks, blocksize))
+
+    def run():
+        slots, csizes = pipeline.compress_blocks(
+            blocks, 1, typesize, nsplits, 48, C.BLOSCLZ, 0, False)
+        masked = pipeline.mask_past_csize(slots, csizes, slots.shape[1])
+        out, err = pipeline.decompress_blocks(
+            masked, csizes, neblock, 1, typesize, nsplits, C.BLOSCLZ)
+        return (np.asarray(slots), np.asarray(csizes), np.asarray(out),
+                np.asarray(err))
+
+    monkeypatch.setenv("CBLOSC_TPU_ENCODE_GROUP", str(1 << 20))
+    # distinct geometry per branch also keeps the jit cache from
+    # handing back a trace captured under the other env setting
+    g_slots, g_csizes, g_out, g_err = run()
+    assert not g_err.any()
+    assert g_out.tobytes() == data
+    monkeypatch.delenv("CBLOSC_TPU_ENCODE_GROUP")
+    if nblocks == 256:   # single-batch reference at this geometry
+        # the env knob is read at trace time: drop the traces captured
+        # under the 1 MB budget or the jit cache would replay them
+        pipeline.compress_blocks.clear_cache()
+        pipeline.decompress_blocks.clear_cache()
+        s_slots, s_csizes, s_out, s_err = run()
+        np.testing.assert_array_equal(g_csizes, s_csizes)
+        np.testing.assert_array_equal(g_slots, s_slots)
+        np.testing.assert_array_equal(g_out, s_out)
