@@ -107,10 +107,44 @@ def _score(s: jax.Array, dists: tuple):
     chain); only NORMAL emission groups need the mask, and they
     recompute it from d_row with _eq_for at a fraction of the cost.
     """
+    import os
+
     N, n = s.shape
+    # u32-lane scoring (default): candidates with d % 4 == 0 compare
+    # whole little-endian u32 lanes — 4x fewer VPU lane-ops and a 4x
+    # smaller reduce for 6 of the 9 candidates (the _score pass was
+    # ~45% of clevel-1 compress). Exactness is preserved where it
+    # matters: purity is an ALL over full lanes plus a 3-byte tail
+    # compare, covering exactly bytes [d, n-2] as the byte path does.
+    # The pair-count RANKING sees u32 pair counts x4 vs byte pair
+    # counts — equal on the periodic planes this path exists for (a
+    # matched stretch is lane-aligned there), and any near-tie between
+    # candidate distances picks a valid stream either way.
+    # CBLOSC_TPU_SCORE32=0 restores pure byte scoring (A/B knob).
+    u32ok = (os.environ.get("CBLOSC_TPU_SCORE32", "1") != "0"
+             and n % 4 == 0 and n >= 64)
+    s32 = (jax.lax.bitcast_convert_type(
+        s.reshape(N, n // 4, 4), jnp.uint32) if u32ok else None)
+    L = n // 4
     pairs = []
+    pures = []
     for d in dists:
-        if d < n - 2:
+        if d >= n - 2:
+            pairs.append(jnp.zeros((N,), I32))
+            pures.append(jnp.zeros((N,), bool))
+            continue
+        if u32ok and d % 4 == 0 and d >= 4:
+            D = d // 4
+            # full-requirement lanes [D, L-1) cover bytes [d, n-4);
+            # the tail compare covers n-4..n-2; byte n-1 is excluded
+            # (trailing-literal rule) — together exactly [d, n-2]
+            e = s32[:, D:L - 1] == s32[:, :L - 1 - D]
+            p2 = e[:, 1:] & e[:, :-1]
+            tail_eq = jnp.all(
+                s[:, n - 4:n - 1] == s[:, n - 4 - d:n - 1 - d], axis=1)
+            pairs.append(4 * jnp.sum(p2.astype(I32), axis=1))
+            pures.append(jnp.all(e, axis=1) & tail_eq)
+        else:
             # e[i] = s[i]==s[i-d] for i in [d, n-1): STATIC SLICES, not
             # a concatenate — the concat materialized a shifted copy of
             # the whole batch per candidate (9x64 MB of extra traffic).
@@ -121,15 +155,20 @@ def _score(s: jax.Array, dists: tuple):
             # pairs == L-1 iff every slot matches (any miss costs >= 1).
             e = s[:, d:n - 1] == s[:, :n - 1 - d]
             p2 = e[:, 1:] & e[:, :-1]
-            pairs.append(jnp.sum(p2.astype(I32), axis=1))
-        else:
-            pairs.append(jnp.zeros((N,), I32))
+            cnt = jnp.sum(p2.astype(I32), axis=1)
+            pairs.append(cnt)
+            pures.append(cnt == n - 2 - d)
     stack = jnp.stack(pairs, 0)
     best = jnp.argmin(-stack, axis=0)                    # first (smallest d) max
     d_row = jnp.asarray(dists, I32)[best][:, None]       # (N, 1)
     d = d_row[:, 0]
     total = jnp.take_along_axis(stack, best[None, :], axis=0)[0]
-    pure = (total == n - 2 - d) & (n - 1 - d >= 3) & (d <= 256)
+    pure_best = jnp.take_along_axis(
+        jnp.stack(pures, 0), best[None, :], axis=0)[0]
+    pure = pure_best & (n - 1 - d >= 3) & (d <= 256)
+    # purity implies total coverage n-2-d regardless of scoring lane
+    # width — report it exactly so the entropy estimate stays faithful
+    total = jnp.where(pure, n - 2 - d, total)
     return d_row, pure, total, total
 
 

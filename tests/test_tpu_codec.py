@@ -220,3 +220,38 @@ def test_far_distance_streams_cross_decode(rng):
             got = binding.blosclz_decompress(
                 np.frombuffer(stream, np.uint8), n)
             assert got == S[i].tobytes()
+
+
+def test_score32_matches_byte_scoring(rng, monkeypatch):
+    """The u32-lane scorer must agree with byte scoring on the calls
+    that matter: identical purity flags (exactness — _emit_pure trusts
+    them) and identical distance choice on periodic rows. _score is not
+    jitted at module level, so the knob applies per call."""
+    from cblosc_tpu.tpu.codec import _score
+
+    for n in (256, 2048, 4096):
+        rows = []
+        for d in codec.DISTANCES:
+            if d >= n - 4:
+                continue
+            pat = rng.integers(0, 256, d, dtype=np.uint8)
+            rows.append(np.tile(pat, n // d + 1)[:n])
+        # corners: random, constant, periodic-with-one-miss, short tail
+        rows.append(rng.integers(0, 256, n, dtype=np.uint8))
+        rows.append(np.zeros(n, np.uint8))
+        broken = np.tile(rows[2][:4], n // 4)[:n].copy()
+        broken[n // 2] ^= 0xFF
+        rows.append(broken)
+        S = jnp.asarray(np.stack(rows))
+
+        monkeypatch.setenv("CBLOSC_TPU_SCORE32", "0")
+        d_b, pure_b, cov_b, tot_b = (np.asarray(v) for v in
+                                     _score(S, codec.DISTANCES))
+        monkeypatch.setenv("CBLOSC_TPU_SCORE32", "1")
+        d_u, pure_u, cov_u, tot_u = (np.asarray(v) for v in
+                                     _score(S, codec.DISTANCES))
+        np.testing.assert_array_equal(pure_b, pure_u, err_msg=str(n))
+        assert pure_b[:len(rows) - 3].sum() >= len(rows) - 5
+        # pure rows: identical distance and exact coverage both paths
+        np.testing.assert_array_equal(d_b[pure_b], d_u[pure_b])
+        np.testing.assert_array_equal(tot_b[pure_b], tot_u[pure_b])
