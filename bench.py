@@ -182,9 +182,12 @@ def bench_device(nbytes: int, typesize: int, sbits: int, clevel: int,
                                slots0)
     rt_dt = time_it(chain(dep_roundtrip))
     # the plain read pass is ~100x faster than the codec: amortize far
-    # more repetitions, and never trust a measurement below half the
-    # elapsed time (the tunnel's async readback skews tiny intervals)
-    read_dt = time_it(chain(lambda x: (jnp.max(x).astype(jnp.int32) * 0,)),
+    # more repetitions. The reduction result must stay LIVE in the
+    # carry (a `* 0` here let XLA fold the flip to x ^ 0 and delete
+    # the entire read loop — measured as an absurd 75 TB/s); max is
+    # data-dependent so the flip, and therefore every read pass,
+    # survives optimization.
+    read_dt = time_it(chain(lambda x: (jnp.max(x).astype(jnp.int32),)),
                       reps=iters * 40, min_signal_x=4.0)
 
     return {

@@ -119,14 +119,15 @@ def compute_blocksize_device(
 ) -> int:
     """Blocksize for the TPU pipeline (same format, different tuning).
 
-    The CPU heuristic above targets L1-resident blocks. On TPU the
-    dominant cost of the device encoder is the per-row emission sort,
-    whose cost per element falls ~4.7x when rows shrink from 256 KB to
-    2 KB (batched bitonic depth), so the device prefers many small
-    splits: neblock 2-8 KB by clevel (higher clevel = bigger blocks =
-    longer matches = better ratio, mirroring the reference's own
-    clevel->blocksize philosophy, blosc.c:996-1028). Any blocksize is a
-    conforming chunk — bstarts make the geometry explicit.
+    The CPU heuristic above targets L1-resident blocks. On TPU, speed
+    clevels (<= 4) use 8 KB splits — wide enough that per-row overhead
+    (template compares, group dispatch) amortizes, narrow enough that
+    the emission sort stays cheap when NORMAL rows do appear — and
+    ratio clevels (>= 5) use the reference's own 128-256 KB split
+    geometry (higher clevel = bigger blocks = longer matches = better
+    ratio, mirroring the reference's clevel->blocksize philosophy,
+    blosc.c:996-1028). Any blocksize is a conforming chunk — bstarts
+    make the geometry explicit.
     """
     import os
 
@@ -148,9 +149,14 @@ def compute_blocksize_device(
             if blocksize > typesize:
                 blocksize = blocksize // typesize * typesize
             return max(blocksize, C.MIN_BUFFERSIZE)
-    if clevel <= 2:
-        neblock = 2048          # fastest sort (0.37 ns/element measured)
-    elif clevel <= 4:
+    if clevel <= 4:
+        # 8 KB splits: the round-4 template/pure fast paths removed the
+        # emission sort from the shuffled-data hot path, so the old
+        # 2 KB "fastest sort" geometry only multiplied per-row
+        # overhead. Measured at clevel 1 on 64 MB (scratch/
+        # r5_ab_cl1_geom.py): 2 KB 10.1/25.9, 8 KB 14.8/45.1, 16 KB
+        # 15.5/39.1 GB/s comp/decomp — 8 KB wins the weaker axis with
+        # ratio slightly better (2.642 vs 2.623).
         neblock = 8192
     elif clevel <= 8:
         # The reference's own clevel-5 geometry (1 MB block / typesize

@@ -110,18 +110,16 @@ def _score(s: jax.Array, dists: tuple):
     import os
 
     N, n = s.shape
-    # u32-lane scoring (default): candidates with d % 4 == 0 compare
-    # whole little-endian u32 lanes — 4x fewer VPU lane-ops and a 4x
-    # smaller reduce for 6 of the 9 candidates (the _score pass was
-    # ~45% of clevel-1 compress). Exactness is preserved where it
-    # matters: purity is an ALL over full lanes plus a 3-byte tail
-    # compare, covering exactly bytes [d, n-2] as the byte path does.
-    # The pair-count RANKING sees u32 pair counts x4 vs byte pair
-    # counts — equal on the periodic planes this path exists for (a
-    # matched stretch is lane-aligned there), and any near-tie between
-    # candidate distances picks a valid stream either way.
-    # CBLOSC_TPU_SCORE32=0 restores pure byte scoring (A/B knob).
-    u32ok = (os.environ.get("CBLOSC_TPU_SCORE32", "1") != "0"
+    # u32-lane scoring (OFF by default): candidates with d % 4 == 0
+    # compare whole little-endian u32 lanes — 4x fewer lane-ops on
+    # paper, but MEASURED 3.4x SLOWER end to end on v5e (22.0 vs
+    # 6.5 ms per 64 MB at the clevel-1 geometry, scratch/r5_ab_cl1.py):
+    # the u8->u32 bitcast materializes a relaid copy of the batch and
+    # the mixed u8/u32 consumers split what was one fused streaming
+    # compare pass. Kept behind CBLOSC_TPU_SCORE32=1 for future
+    # geometry work; exactness holds on both paths (purity is exact
+    # per candidate, selected at the best distance).
+    u32ok = (os.environ.get("CBLOSC_TPU_SCORE32", "0") == "1"
              and n % 4 == 0 and n >= 64)
     s32 = (jax.lax.bitcast_convert_type(
         s.reshape(N, n // 4, 4), jnp.uint32) if u32ok else None)
